@@ -1,0 +1,288 @@
+"""DiffSim scorer, SD-1.5 backbone — the flagship metric.
+
+Torch reference: /root/reference/diffsim/diffsim.py (class DiffSim) driving a single-UNet-step
+pipeline (/root/reference/diffsim/diffsim_pipeline.py:32-224) with hook-based Q/K/V extraction.
+
+TPU design: one jitted graph per (pair-batch, tap, similarity):
+
+    pixels (P,2,H,W,3) -> VAE encode -> DiagonalGaussian sample -> q_sample to t
+    -> UNet forward over the CFG-doubled batch (4P) -> functional taps
+    -> 4-way cross/self attention readout -> (P,) scores
+
+batched over the pair axis and sharded over the mesh 'data' axis. Scores are 1:1 with the
+reference protocol (including the CFG-doubled tap batch and the per-call generator reseed —
+every pair sees the same seed-derived noise), up to PRNG stream differences (ranking parity,
+not bitwise parity; see SURVEY.md "PRNG parity").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsim_tpu.core import prng, schedulers
+from diffsim_tpu.core.image import load_and_process
+from diffsim_tpu.core.tokenizer import HashTokenizer
+from diffsim_tpu.metrics import readout
+from diffsim_tpu.models import clip_text, unet, vae
+from diffsim_tpu.ops.taps import IP_QKV, QKV, TapSpec
+from diffsim_tpu.parallel import mesh as meshlib
+
+
+def sd15_tap(target_block: str, target_layer, ip_adapter: bool = False,
+             fix_layer_collapse: bool = False) -> TapSpec:
+    """Translate the reference CLI addressing into an absolute TapSpec.
+
+    Reference semantics (/root/reference/diffsim/diffsim.py:99-145):
+    * ``target_layer`` arrives as a list (argparse nargs='+'); a length-1 list is collapsed to
+      layer **0** — the reference's Q2 bug, replicated by default so published configs (e.g.
+      ipref --target_layer 5) score identically; pass ``fix_layer_collapse=True`` for the fix.
+    * down taps address ``down_blocks[:-1][L]`` == absolute down block L;
+      up taps address ``up_blocks[1:][L]`` == absolute up block L+1; always
+      ``attentions[-1].transformer_blocks[-1]``.
+    """
+    if isinstance(target_layer, (list, tuple)):
+        if len(target_layer) == 1:
+            target_layer = target_layer[0] if fix_layer_collapse else 0
+        else:
+            raise ValueError("SD-1.5 takes a single target_layer index")
+    attn = "attn2" if ip_adapter else "attn1"
+    capture = IP_QKV if ip_adapter else QKV
+    if target_block == "down_blocks":
+        return TapSpec("down", (int(target_layer), -1, -1), attn, capture)
+    if target_block == "mid_blocks":
+        return TapSpec("mid", (0, -1, -1), attn, capture)
+    if target_block == "up_blocks":
+        return TapSpec("up", (int(target_layer) + 1, -1, -1), attn, capture)
+    raise ValueError(f"unknown target_block: {target_block}")
+
+
+class DiffSimSD15:
+    """Batched SD-1.5 DiffSim. ``params`` is {'unet','vae','text'}; if None, randomly
+    initialized (tests / throughput benchmarking — scores are meaningless without converted
+    weights, rankings/throughput machinery is identical)."""
+
+    def __init__(
+        self,
+        params=None,
+        *,
+        unet_cfg: unet.UNetConfig | None = None,
+        vae_cfg: vae.VAEConfig | None = None,
+        text_cfg: clip_text.CLIPTextConfig | None = None,
+        img_size: int = 512,
+        dtype=jnp.bfloat16,
+        mesh=None,
+        tokenizer=None,
+        cfg_parity: bool = True,
+        guidance_scale: float = 7.5,
+        vae_mode: bool = False,
+        init_seed: int = 0,
+    ):
+        # vae_mode=True uses the posterior mean (diffusers .mode()) instead of sampling —
+        # deterministic latents; the reference always samples (diffsim.py:94)
+        self.vae_mode = vae_mode
+        self.unet_cfg = unet_cfg or unet.UNetConfig.sd15()
+        self.vae_cfg = vae_cfg or vae.VAEConfig.sd()
+        self.text_cfg = text_cfg or clip_text.CLIPTextConfig.sd15()
+        self.img_size = img_size
+        self.dtype = dtype
+        self.mesh = mesh
+        # CFG parity: guidance_scale=7.5 in the reference turns on classifier-free guidance,
+        # so the tapped batch contains [uncond, cond] halves and both enter the score
+        # (quirk Q1, /root/reference/diffsim/diffsim_pipeline.py:140-141,208). cfg_parity=False
+        # drops the uncond half for a ~2x speedup at the cost of exact score parity.
+        self.cfg_parity = cfg_parity and guidance_scale > 1.0
+        self.tokenizer = tokenizer or HashTokenizer(self.text_cfg.vocab_size)
+        if params is None:
+            k = jax.random.PRNGKey(init_seed)
+            ku, kv, kt = jax.random.split(k, 3)
+            params = {
+                "unet": unet.init(ku, self.unet_cfg, dtype),
+                "vae": vae.encoder_init(kv, self.vae_cfg, dtype),
+                "text": clip_text.init(kt, self.text_cfg, dtype),
+            }
+        self.params = self._place(params)
+        self._prompt_cache: dict[str, jax.Array] = {}
+        self._encode_jit = jax.jit(
+            lambda p, ids: clip_text.apply(p, ids, self.text_cfg)["last_hidden_state"]
+        )
+
+    def _place(self, params):
+        if self.mesh is None:
+            return params
+        repl = meshlib.replicated(self.mesh)
+        return jax.device_put(params, repl)
+
+    # ------------------------------------------------------------------
+    # prompt encoding (cached per prompt string; the reference re-encodes per step call)
+    # ------------------------------------------------------------------
+
+    def encode_prompt(self, prompt: str) -> jax.Array:
+        """(2, 77, hidden): [uncond(""), cond(prompt)] final-LN hidden states."""
+        if prompt not in self._prompt_cache:
+            ids = jnp.asarray(self.tokenizer(["", prompt]))
+            embeds = self._encode_jit(self.params["text"], ids).astype(self.dtype)
+            self._prompt_cache[prompt] = embeds
+        return self._prompt_cache[prompt]
+
+    # ------------------------------------------------------------------
+    # the fused scoring graph
+    # ------------------------------------------------------------------
+
+    @functools.lru_cache(maxsize=32)
+    def _score_fn(self, tap: TapSpec, similarity: str):
+        unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
+        cfg_parity = self.cfg_parity
+        latent_c = vae_cfg.latent_channels
+        down = vae_cfg.downscale
+
+        def fn(params, pix, embeds, noise_sab, key):
+            # pix (P,2,H,W,3); embeds (2,77,hidden) [neg,pos]; noise_sab = (model_t, a, b)
+            model_t, a, b = noise_sab
+            P, two, H, W, _ = pix.shape
+            h, w = H // down, W // down
+
+            moments = vae.encoder_apply(params["vae"], pix.reshape(P * 2, H, W, 3))
+            moments = moments.reshape(P, 2, h, w, 2 * latent_c)
+            # reference draw order per pair: vae_A, vae_B, noise_A, noise_B — one seeded
+            # stream reused for every pair (the generator is reseeded per call)
+            if self.vae_mode:
+                z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, mode=True)
+            else:
+                eps_vae = jnp.stack(
+                    [
+                        jax.random.normal(prng.role_key(key, prng.VAE_A), (h, w, latent_c)),
+                        jax.random.normal(prng.role_key(key, prng.VAE_B), (h, w, latent_c)),
+                    ]
+                )[None]
+                z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, noise=eps_vae)
+
+            eps_n = jnp.stack(
+                [
+                    jax.random.normal(prng.role_key(key, prng.NOISE_A), (h, w, latent_c)),
+                    jax.random.normal(prng.role_key(key, prng.NOISE_B), (h, w, latent_c)),
+                ]
+            )[None]
+            x = (a * z.astype(jnp.float32) + b * eps_n).astype(z.dtype)
+
+            if cfg_parity:
+                # per-image CFG doubling: [uncond_a, cond_a, uncond_b, cond_b]
+                x_in = x[:, jnp.array([0, 0, 1, 1])].reshape(P * 4, h, w, latent_c)
+                ctx = jnp.tile(embeds, (P * 2, 1, 1))
+                per_img = 2
+            else:
+                x_in = x.reshape(P * 2, h, w, latent_c)
+                ctx = jnp.tile(embeds[1:2], (P * 2, 1, 1))
+                per_img = 1
+
+            _, taps = unet.apply(
+                params["unet"], x_in, jnp.float32(model_t), ctx, unet_cfg, tap=tap
+            )
+            q, k, v = taps["q"], taps["k"], taps["v"]
+            nb = 2 * per_img
+            q = q.reshape((P, nb) + q.shape[1:])
+            k = k.reshape((P, nb) + k.shape[1:])
+            v = v.reshape((P, nb) + v.shape[1:])
+            qa, qb = q[:, :per_img], q[:, per_img:]
+            ka, kb = k[:, :per_img], k[:, per_img:]
+            va, vb = v[:, :per_img], v[:, per_img:]
+            return readout.cross_attention_score(qa, ka, va, qb, kb, vb, similarity)
+
+        if self.mesh is not None:
+            ds = meshlib.data_sharding(self.mesh)
+            rs = meshlib.replicated(self.mesh)
+            return jax.jit(
+                fn,
+                in_shardings=(rs, ds, rs, rs, rs),
+                out_shardings=ds,
+                donate_argnums=(1,),
+            )
+        return jax.jit(fn, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def score_batch(
+        self,
+        pix_a: np.ndarray,
+        pix_b: np.ndarray,
+        *,
+        prompt: str = "",
+        target_block: str = "up_blocks",
+        target_layer=0,
+        target_step: int = 600,
+        similarity: str = "cosine",
+        seed: int = 2333,
+        ip_adapter: bool = False,
+        fix_layer_collapse: bool = False,
+    ) -> np.ndarray:
+        """Score P pairs. pix_a/pix_b: (P, H, W, 3) float32 in [-1, 1] (see core.image)."""
+        tap = sd15_tap(target_block, target_layer, ip_adapter, fix_layer_collapse)
+        spec = schedulers.sd15_noise_spec(target_step)
+        P = pix_a.shape[0]
+        pix = np.stack([pix_a, pix_b], axis=1).astype(np.float32)
+        pad = 0
+        if self.mesh is not None:
+            target = meshlib.pad_to_multiple(P, meshlib.data_axis_size(self.mesh))
+            pad = target - P
+            if pad:
+                pix = np.concatenate([pix, np.repeat(pix[-1:], pad, 0)], axis=0)
+        embeds = self.encode_prompt(prompt)
+        key = jax.random.PRNGKey(int(seed))
+        fn = self._score_fn(tap, similarity)
+        scores = fn(
+            self.params,
+            jnp.asarray(pix, self.dtype),
+            embeds,
+            (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
+            key,
+        )
+        out = np.asarray(jax.device_get(scores), np.float32)
+        return out[:P] if pad else out
+
+    def diffsim(self, image_a, image_b, img_size=None, prompt="", target_block="up_blocks",
+                target_layer=(0,), target_step=600, ip_adapter=False, seed=2333,
+                similarity="cosine", **_):
+        """Reference-shaped single-pair entry point (paths or PIL images in, float out) —
+        /root/reference/diffsim/diffsim.py:98."""
+        size = img_size or self.img_size
+        pa = load_and_process(image_a, size)
+        pb = load_and_process(image_b, size)
+        return float(
+            self.score_batch(
+                pa, pb, prompt=prompt, target_block=target_block, target_layer=target_layer,
+                target_step=target_step, similarity=similarity, seed=seed,
+                ip_adapter=ip_adapter,
+            )[0]
+        )
+
+    def tap_values(self, image_a, *, prompt="", target_block="up_blocks", target_layer=(0,),
+                   target_step=600, seed=2333):
+        """Q/K/V for one image (the reference's ``diffsim_value`` retrieval helper,
+        /root/reference/diffsim/diffsim.py:201-258 — implemented with the standard block
+        slicing rather than its swapped-slice quirk Q3)."""
+        tap = sd15_tap(target_block, target_layer)
+        spec = schedulers.sd15_noise_spec(target_step)
+        pix = load_and_process(image_a, self.img_size)
+        embeds = self.encode_prompt(prompt)
+        key = jax.random.PRNGKey(int(seed))
+
+        def fn(params, pix, embeds, key):
+            moments = vae.encoder_apply(params["vae"], pix)
+            eps = jax.random.normal(prng.role_key(key, prng.VAE_A), moments.shape[:1] + moments.shape[1:-1] + (moments.shape[-1] // 2,))
+            z = vae.sample_latents(moments, None, self.vae_cfg.scaling_factor, noise=eps)
+            eps_n = jax.random.normal(prng.role_key(key, prng.NOISE_A), z.shape)
+            x = (spec.a * z.astype(jnp.float32) + spec.b * eps_n).astype(z.dtype)
+            if self.cfg_parity:
+                x = jnp.concatenate([x, x], axis=0)
+                ctx = embeds
+            else:
+                x, ctx = x, embeds[1:2]
+            _, taps = unet.apply(params["unet"], x, jnp.float32(spec.model_t), ctx, self.unet_cfg, tap=tap)
+            return taps["q"], taps["k"], taps["v"]
+
+        return jax.jit(fn)(self.params, jnp.asarray(pix, self.dtype), embeds, key)

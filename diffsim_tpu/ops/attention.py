@@ -1,0 +1,51 @@
+"""Scaled-dot-product attention for TPU.
+
+One implementation serves the model forwards and the cross-image readout. Softmax statistics
+accumulate in float32 regardless of the activation dtype (bf16 activations keep the MXU fed;
+f32 softmax keeps parity with torch's F.scaled_dot_product_attention, which upcasts
+internally). Shapes follow the reference tap layout (B, heads, seq, head_dim)
+(/root/reference/diffsim/hacked_attn.py:74-83).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float | None = None,
+) -> jax.Array:
+    """Attention over (..., heads, seq, head_dim) tensors; returns same-shape output.
+
+    Default scale 1/sqrt(head_dim), matching torch F.scaled_dot_product_attention.
+    """
+    head_dim = q.shape[-1]
+    if scale is None:
+        scale = head_dim**-0.5
+    logits = jnp.einsum(
+        "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
+    )
+    weights = jax.nn.softmax(logits * scale, axis=-1)
+    out = jnp.einsum(
+        "...qk,...kd->...qd",
+        weights.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+def split_heads(x: jax.Array, heads: int) -> jax.Array:
+    """(B, S, H*D) -> (B, heads, S, D), the hacked-processor tap layout."""
+    b, s, hd = x.shape
+    return x.reshape(b, s, heads, hd // heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """(B, heads, S, D) -> (B, S, heads*D)."""
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)

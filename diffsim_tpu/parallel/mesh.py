@@ -1,0 +1,42 @@
+"""Device mesh and sharding policy.
+
+The reference's only parallelism is NCCL DDP in the vendored DiT scripts
+(/root/reference/DiT/train.py:117); the metric itself is single-GPU. The TPU-native design is
+SPMD: a ('data', 'model') mesh; image *pairs* shard over 'data' (the benchmarks are
+embarrassingly parallel over pairs), and 'model' is reserved for tensor-sharding larger
+backbones (all current backbones fit one chip in bf16, so model=1 by default). XLA inserts the
+ICI collectives; the only explicit ones are the psum-style reductions in training.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int | None = None, model_axis: int = 1) -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    assert n % model_axis == 0, (n, model_axis)
+    arr = np.array(devices).reshape(n // model_axis, model_axis)
+    return Mesh(arr, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (pair/batch) axis over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    return mesh.shape["data"]
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
