@@ -1,0 +1,74 @@
+"""Canonical throughput benchmark: SD-1.5 DiffSim image pairs/sec/chip at 512px.
+
+Runs the flagship fused scoring graph (VAE encode -> q_sample -> CFG-doubled UNet forward ->
+cross-attention tap readout, the full per-pair compute of /root/reference/diffsim/diffsim.py)
+at the canonical CUTE config (512px, up_blocks layer 0, step 600, cosine, CFG parity on),
+batched over pairs, on however many chips are attached. Weights are random (bf16): throughput
+is weight-value-independent.
+
+Baseline: the reference runs a full benchmark in ">30 minutes" on one GPU
+(/root/reference/README.md:91). The fastest consistent reading of that is Sref's 2000 triplets
+= 4000 pair-scores in 30 min ~= 2.2 pairs/sec on an A100-class GPU — we take that generous
+upper bound as 1.0x.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC = 2.2
+IMG = 512
+BATCH = 16
+WARMUP = 2
+ITERS = 8
+
+
+def main():
+    import jax
+
+    from diffsim_tpu.metrics.diffsim_sd15 import DiffSimSD15
+    from diffsim_tpu.parallel import mesh as meshlib
+
+    n_dev = len(jax.devices())
+    mesh = meshlib.make_mesh() if n_dev > 1 else None
+    scorer = DiffSimSD15(img_size=IMG, mesh=mesh)
+
+    batch = BATCH * n_dev
+    rng = np.random.default_rng(0)
+    pix_a = rng.uniform(-1, 1, (batch, IMG, IMG, 3)).astype(np.float32)
+    pix_b = rng.uniform(-1, 1, (batch, IMG, IMG, 3)).astype(np.float32)
+
+    kwargs = dict(
+        prompt="The photo of a benchmark",
+        target_block="up_blocks",
+        target_layer=(0,),
+        target_step=600,
+        similarity="cosine",
+        seed=2334,
+    )
+    for _ in range(WARMUP):
+        scorer.score_batch(pix_a, pix_b, **kwargs)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        scorer.score_batch(pix_a, pix_b, **kwargs)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = ITERS * batch / dt
+    per_chip = pairs_per_sec / n_dev
+    print(
+        json.dumps(
+            {
+                "metric": "sd15_diffsim_pairs_per_sec_per_chip_512px",
+                "value": round(per_chip, 3),
+                "unit": "pairs/s/chip",
+                "vs_baseline": round(per_chip / BASELINE_PAIRS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

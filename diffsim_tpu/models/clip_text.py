@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from diffsim_tpu.ops.attention import merge_heads, sdpa, split_heads
-from diffsim_tpu.ops.blocks import layer_norm, linear, linear_init, norm_init, quick_gelu, gelu
+from diffsim_tpu.ops.blocks import layer_norm, linear, linear_init, norm_init, quick_gelu, gelu, rand_normal
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,8 +62,8 @@ def _encoder_layer_init(key, cfg: CLIPTextConfig, dtype):
 def init(key, cfg: CLIPTextConfig, dtype=jnp.float32):
     keys = jax.random.split(key, cfg.layers + 3)
     p = {
-        "token_embedding": jax.random.normal(keys[0], (cfg.vocab_size, cfg.hidden), dtype) * 0.02,
-        "position_embedding": jax.random.normal(keys[1], (cfg.max_positions, cfg.hidden), dtype) * 0.02,
+        "token_embedding": rand_normal(keys[0], (cfg.vocab_size, cfg.hidden), dtype, 0.02),
+        "position_embedding": rand_normal(keys[1], (cfg.max_positions, cfg.hidden), dtype, 0.02),
         "layers": [_encoder_layer_init(keys[2 + i], cfg, dtype) for i in range(cfg.layers)],
         "final_norm": norm_init(cfg.hidden, dtype),
     }

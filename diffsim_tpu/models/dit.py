@@ -24,6 +24,7 @@ from diffsim_tpu.ops.blocks import (
     linear,
     linear_init,
     norm_init,
+    rand_normal,
     silu,
     timestep_embedding,
 )
@@ -122,7 +123,7 @@ def init(key, cfg: DiTConfig, dtype=jnp.float32):
         "patch_embed": {
             # stored as a linear over flattened patches (patch*patch*C, hidden); equivalent to
             # the conv-with-stride PatchEmbed and friendlier to the MXU
-            "w": jax.random.normal(next(keys), (cfg.patch_size * cfg.patch_size * cfg.in_channels, h), dtype) * 0.02,
+            "w": rand_normal(next(keys), (cfg.patch_size * cfg.patch_size * cfg.in_channels, h), dtype, 0.02),
             "b": jnp.zeros((h,), dtype),
         },
         "pos_embed": jnp.asarray(pos_embed_2d(h, cfg.tokens_per_side), dtype),
@@ -130,7 +131,7 @@ def init(key, cfg: DiTConfig, dtype=jnp.float32):
             "fc1": linear_init(next(keys), 256, h, dtype=dtype),
             "fc2": linear_init(next(keys), h, h, dtype=dtype),
         },
-        "y_embedder": jax.random.normal(next(keys), (cfg.num_classes + 1, h), dtype) * 0.02,
+        "y_embedder": rand_normal(next(keys), (cfg.num_classes + 1, h), dtype, 0.02),
         "blocks": [_block_init(next(keys), cfg, dtype) for _ in range(cfg.depth)],
         "final": {
             "adaLN": linear_init(next(keys), h, 2 * h, dtype=dtype),

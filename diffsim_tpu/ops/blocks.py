@@ -26,8 +26,19 @@ from diffsim_tpu.ops.taps import IP_QKV, OUTPUT, QKV
 # ---------------------------------------------------------------------------
 
 
+def rand_normal(key, shape, dtype=jnp.float32, std=1.0):
+    """Host-side gaussian init derived from a JAX key. Init runs on the host with numpy —
+    eagerly dispatching thousands of tiny TPU RNG kernels takes minutes for a ~1B-param tree;
+    weight *values* only matter for tests, which need determinism, not a specific stream."""
+    import numpy as _np
+
+    seed = int(_np.asarray(jax.random.key_data(key)).ravel()[-1])
+    arr = _np.random.default_rng(seed).standard_normal(shape).astype(_np.float32) * std
+    return jnp.asarray(arr, dtype)
+
+
 def linear_init(key, din, dout, bias=True, dtype=jnp.float32, std=0.02):
-    p = {"w": jax.random.normal(key, (din, dout), dtype) * std}
+    p = {"w": rand_normal(key, (din, dout), dtype, std)}
     if bias:
         p["b"] = jnp.zeros((dout,), dtype)
     return p
@@ -41,7 +52,7 @@ def linear(p, x):
 
 
 def conv2d_init(key, kh, kw, cin, cout, bias=True, dtype=jnp.float32, std=0.02):
-    p = {"w": jax.random.normal(key, (kh, kw, cin, cout), dtype) * std}
+    p = {"w": rand_normal(key, (kh, kw, cin, cout), dtype, std)}
     if bias:
         p["b"] = jnp.zeros((cout,), dtype)
     return p
