@@ -1,0 +1,40 @@
+"""CLI argument surface — the reference's argprocess flags (/root/reference/argprocess.py:3-20)
+plus framework extensions (batching, mesh, weights, resume)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def arg_parse(argv=None):
+    parser = argparse.ArgumentParser(description="diffsim-tpu benchmark driver")
+    # --- reference-compatible surface ---
+    parser.add_argument("--image_path", type=str, help="Path to image folder")
+    parser.add_argument("--original_path", type=str, default=None, help="Path to original images for ipref")
+    parser.add_argument("--out_path", type=str, default=None, help="Output folder / results JSONL path")
+    parser.add_argument("--image_size", type=int, default=512)
+    parser.add_argument("--target_block", type=str, choices=["down_blocks", "mid_blocks", "up_blocks"], default="up_blocks")
+    parser.add_argument("--target_layer", type=int, default=[2], nargs="+",
+                        help="Target layer index; 3 numbers (block, attention, transformer) for SDXL")
+    parser.add_argument("--target_step", type=int, default=100)
+    parser.add_argument("--metric", type=str, default="diffsim",
+                        choices=["diffsim", "diffsim_xl", "clip_i", "clip_cross", "dino", "dinov1",
+                                 "dino_cross", "cute", "lpips", "gram", "diffeats", "clipfeats",
+                                 "dinofeats", "ensemble", "dit"])
+    parser.add_argument("--similarity", type=str, choices=["cosine", "mse"], default="mse")
+    parser.add_argument("--prompt", type=str, default="High quality image")
+    parser.add_argument("--ip_adapter", action="store_true")
+    parser.add_argument("--use_mask", action="store_true")
+    parser.add_argument("--use_text_attn", action="store_true")
+    parser.add_argument("--seed", type=int, default=2333)
+    # --- framework extensions ---
+    parser.add_argument("--batch_size", type=int, default=16, help="Comparisons per device batch")
+    parser.add_argument("--weights", type=str, default=None, help="Converted checkpoint (.npz) path")
+    parser.add_argument("--tokenizer_dir", type=str, default=None, help="Dir with vocab.json + merges.txt")
+    parser.add_argument("--results", type=str, default=None, help="JSONL results path (enables resume)")
+    parser.add_argument("--no_cfg_parity", dest="cfg_parity", action="store_false",
+                        help="Drop the CFG uncond half (2x faster, not score-parity with torch)")
+    parser.add_argument("--num_devices", type=int, default=None, help="Limit mesh size")
+    parser.add_argument("--model_scale", type=str, choices=["full", "tiny"], default="full",
+                        help="'tiny' uses toy model configs (CPU smoke tests / CI)")
+    return parser.parse_args(argv)

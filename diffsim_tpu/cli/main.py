@@ -1,0 +1,94 @@
+"""Unified benchmark CLI: ``python -m diffsim_tpu.cli.main <benchmark> [argprocess flags]``.
+
+One executable covering the reference's six driver scripts (cute_main.py, style_main.py,
+night_main.py, tid_main.py, ipref_main.py, dreambench_main.py) with the same flags, decision
+arithmetic, and printout shape — batched and sharded instead of pair-at-a-time.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from diffsim_tpu.cli.args import arg_parse
+from diffsim_tpu.core.image import ImageLoader
+from diffsim_tpu.data import benchmarks
+from diffsim_tpu.metrics.registry import build_metric
+from diffsim_tpu.runtime import runner
+
+BENCHMARKS = {
+    # name -> (planner(args) -> comparisons, decision rule)
+    "cute": (lambda a: benchmarks.cute(a.image_path, a.seed), runner.STANDARD),
+    "style": (lambda a: benchmarks.style(a.image_path, a.seed, a.prompt), runner.STANDARD),
+    "sref": (lambda a: benchmarks.style(a.image_path, a.seed, a.prompt), runner.STANDARD),
+    "instantstyle": (lambda a: benchmarks.style(a.image_path, a.seed, a.prompt), runner.STANDARD),
+    "night": (lambda a: benchmarks.nights(a.image_path, a.seed), runner.VOTE),
+    "nights": (lambda a: benchmarks.nights(a.image_path, a.seed), runner.VOTE),
+    "tid": (lambda a: benchmarks.tid2013(a.image_path, a.seed), runner.ALWAYS_GREATER),
+    "ipref": (lambda a: benchmarks.ipref(a.image_path, a.original_path, a.seed), runner.STANDARD),
+    "dreambench": (lambda a: benchmarks.dreambench(a.image_path, a.seed, a.prompt), runner.VOTE_GREATER),
+}
+
+
+def make_mesh_or_none(num_devices=None):
+    import jax
+
+    from diffsim_tpu.parallel import mesh as meshlib
+
+    n = len(jax.devices()) if num_devices is None else num_devices
+    return meshlib.make_mesh(num_devices) if n > 1 else None
+
+
+def run_benchmark(benchmark: str, argv=None) -> runner.Report:
+    args = arg_parse(argv)
+    planner, rule = BENCHMARKS[benchmark]
+    comparisons = planner(args)
+    print(f"=========seed {args.seed}=========")
+    print(f"Experiment on {args.target_block}, layer {args.target_layer}, timestep {args.target_step}:")
+
+    mesh = make_mesh_or_none(args.num_devices)
+
+    if args.metric == "ensemble":
+        from diffsim_tpu.metrics.registry import MetricAdapter  # noqa: F401
+
+        scorers = []
+        for m in ("diffsim", "clip_i", "dino"):
+            ad = build_metric(_clone_args(args, metric=m), mesh)
+            scorers.append((ad.score_pairs, ad.lower_better, ad.preprocess))
+        return runner.run_2afc_ensemble(
+            comparisons, scorers, vote_based=rule in (runner.VOTE, runner.VOTE_GREATER),
+            img_size=args.image_size, batch=args.batch_size, out_path=args.results,
+        )
+
+    adapter = build_metric(args, mesh)
+    loader = ImageLoader(args.image_size, preprocess=adapter.preprocess)
+    lower = adapter.lower_better or args.metric == "lpips"
+    return runner.run_2afc(
+        comparisons,
+        adapter.score_pairs,
+        rule=rule,
+        lower_better=lower,
+        img_size=args.image_size,
+        batch=args.batch_size,
+        out_path=args.results,
+        loader=loader,
+    )
+
+
+def _clone_args(args, **overrides):
+    import copy
+
+    new = copy.copy(args)
+    for k, v in overrides.items():
+        setattr(new, k, v)
+    return new
+
+
+def main():
+    if len(sys.argv) < 2 or sys.argv[1] not in BENCHMARKS:
+        print(f"usage: python -m diffsim_tpu.cli.main <{'|'.join(sorted(set(BENCHMARKS)))}> [flags]")
+        raise SystemExit(2)
+    run_benchmark(sys.argv[1], sys.argv[2:])
+
+
+if __name__ == "__main__":
+    main()

@@ -50,14 +50,21 @@ class ImageLoader:
     loader is the TPU-side replacement for that hot loop's host half.
     """
 
-    def __init__(self, img_size: int = 512, num_workers: int | None = None):
+    def __init__(self, img_size: int = 512, num_workers: int | None = None, preprocess=None):
+        """``preprocess(pil_image) -> (1, H, W, C)`` overrides the default lanczos/[-1,1]
+        pipeline — metric adapters with their own normalization (CLIP, DINO, ...) supply
+        theirs."""
         self.img_size = img_size
+        self._preprocess = preprocess or (lambda img: process_image(img, img_size))
         if num_workers is None:
             num_workers = min(32, (os.cpu_count() or 8))
         self._pool = _futures.ThreadPoolExecutor(max_workers=num_workers)
 
+    def _load(self, path) -> np.ndarray:
+        return self._preprocess(load_image(path))
+
     def submit(self, path) -> _futures.Future:
-        return self._pool.submit(load_and_process, path, self.img_size)
+        return self._pool.submit(self._load, path)
 
     def load_batch(self, paths: Sequence) -> np.ndarray:
         """Load a list of paths into one (N, H, W, 3) float32 array."""

@@ -120,12 +120,13 @@ class DiffSimSD15:
     # prompt encoding (cached per prompt string; the reference re-encodes per step call)
     # ------------------------------------------------------------------
 
-    def encode_prompt(self, prompt: str) -> jax.Array:
-        """(2, 77, hidden): [uncond(""), cond(prompt)] final-LN hidden states."""
+    def encode_prompt(self, prompt: str) -> np.ndarray:
+        """(2, 77, hidden): [uncond(""), cond(prompt)] final-LN hidden states, cached as host
+        arrays so batched stacks can be placed under any sharding."""
         if prompt not in self._prompt_cache:
             ids = jnp.asarray(self.tokenizer(["", prompt]))
             embeds = self._encode_jit(self.params["text"], ids).astype(self.dtype)
-            self._prompt_cache[prompt] = embeds
+            self._prompt_cache[prompt] = np.asarray(jax.device_get(embeds))
         return self._prompt_cache[prompt]
 
     # ------------------------------------------------------------------
@@ -140,7 +141,7 @@ class DiffSimSD15:
         down = vae_cfg.downscale
 
         def fn(params, pix, embeds, noise_sab, key):
-            # pix (P,2,H,W,3); embeds (2,77,hidden) [neg,pos]; noise_sab = (model_t, a, b)
+            # pix (P,2,H,W,3); embeds (P,2,77,hidden) [neg,pos] per pair; noise_sab = (model_t, a, b)
             model_t, a, b = noise_sab
             P, two, H, W, _ = pix.shape
             h, w = H // down, W // down
@@ -168,14 +169,15 @@ class DiffSimSD15:
             )[None]
             x = (a * z.astype(jnp.float32) + b * eps_n).astype(z.dtype)
 
+            seq, hid = embeds.shape[-2:]
             if cfg_parity:
                 # per-image CFG doubling: [uncond_a, cond_a, uncond_b, cond_b]
                 x_in = x[:, jnp.array([0, 0, 1, 1])].reshape(P * 4, h, w, latent_c)
-                ctx = jnp.tile(embeds, (P * 2, 1, 1))
+                ctx = embeds[:, jnp.array([0, 1, 0, 1])].reshape(P * 4, seq, hid)
                 per_img = 2
             else:
                 x_in = x.reshape(P * 2, h, w, latent_c)
-                ctx = jnp.tile(embeds[1:2], (P * 2, 1, 1))
+                ctx = embeds[:, jnp.array([1, 1])].reshape(P * 2, seq, hid)
                 per_img = 1
 
             _, taps = unet.apply(
@@ -196,7 +198,7 @@ class DiffSimSD15:
             rs = meshlib.replicated(self.mesh)
             return jax.jit(
                 fn,
-                in_shardings=(rs, ds, rs, rs, rs),
+                in_shardings=(rs, ds, ds, rs, rs),
                 out_shardings=ds,
                 donate_argnums=(1,),
             )
@@ -220,18 +222,22 @@ class DiffSimSD15:
         ip_adapter: bool = False,
         fix_layer_collapse: bool = False,
     ) -> np.ndarray:
-        """Score P pairs. pix_a/pix_b: (P, H, W, 3) float32 in [-1, 1] (see core.image)."""
+        """Score P pairs. pix_a/pix_b: (P, H, W, 3) float32 in [-1, 1] (see core.image).
+        ``prompt`` is one string for all pairs or a list of P per-pair strings."""
         tap = sd15_tap(target_block, target_layer, ip_adapter, fix_layer_collapse)
         spec = schedulers.sd15_noise_spec(target_step)
         P = pix_a.shape[0]
         pix = np.stack([pix_a, pix_b], axis=1).astype(np.float32)
+        prompts = [prompt] * P if isinstance(prompt, str) else list(prompt)
+        assert len(prompts) == P, (len(prompts), P)
         pad = 0
         if self.mesh is not None:
             target = meshlib.pad_to_multiple(P, meshlib.data_axis_size(self.mesh))
             pad = target - P
             if pad:
                 pix = np.concatenate([pix, np.repeat(pix[-1:], pad, 0)], axis=0)
-        embeds = self.encode_prompt(prompt)
+                prompts = prompts + [prompts[-1]] * pad
+        embeds = np.stack([self.encode_prompt(p) for p in prompts])
         key = jax.random.PRNGKey(int(seed))
         fn = self._score_fn(tap, similarity)
         scores = fn(

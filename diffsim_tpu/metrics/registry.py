@@ -1,0 +1,186 @@
+"""Metric registry: the ``--metric`` CLI surface mapped to scorer adapters.
+
+Mirrors the reference's lazy per-metric construction switch (/root/reference/cute_main.py:30-45
+and the identical blocks in every driver). Each adapter bundles the batched scoring callable,
+its score direction, and its (optional) metric-specific host preprocessing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+
+METRICS = [
+    "diffsim", "diffsim_xl", "clip_i", "clip_cross", "dino", "dinov1", "dino_cross",
+    "cute", "lpips", "gram", "diffeats", "clipfeats", "dinofeats", "ensemble", "dit",
+]
+
+
+@dataclasses.dataclass
+class MetricAdapter:
+    """score_pairs(pix_a (N,H,W,C), pix_b, prompts) -> (N,) scores."""
+
+    score_pairs: Callable[[np.ndarray, np.ndarray, list[str]], np.ndarray]
+    lower_better: bool
+    preprocess: Callable | None = None  # None => default lanczos/[-1,1] at image_size
+
+
+def build_metric(args, mesh=None) -> MetricAdapter:
+    """Construct the adapter for ``args.metric``; args carries the argprocess surface
+    (image_size, target_block/layer/step, similarity, prompt, ip_adapter, seed) plus framework
+    extensions (weights, cfg_parity)."""
+    name = args.metric
+    similarity = args.similarity
+    lower = similarity == "mse"
+
+    tiny = getattr(args, "model_scale", "full") == "tiny"
+
+    if name in ("diffsim", "diffeats"):
+        from diffsim_tpu.metrics.diffsim_sd15 import DiffSimSD15
+
+        kw = {}
+        if tiny:
+            import numpy as _np
+
+            from diffsim_tpu.models import clip_text as _ct, unet as _unet, vae as _vae
+
+            kw = dict(
+                unet_cfg=_unet.UNetConfig.tiny(),
+                vae_cfg=_vae.VAEConfig.tiny(),
+                text_cfg=_ct.CLIPTextConfig.tiny(),
+                dtype=_np.float32,
+            )
+        scorer = DiffSimSD15(
+            params=_load_params(getattr(args, "weights", None)),
+            img_size=args.image_size,
+            mesh=mesh,
+            cfg_parity=getattr(args, "cfg_parity", True),
+            tokenizer=_load_tokenizer(getattr(args, "tokenizer_dir", None)),
+            **kw,
+        )
+
+        if name == "diffsim":
+            def score_pairs(pa, pb, prompts):
+                return scorer.score_batch(
+                    pa, pb, prompt=prompts, target_block=args.target_block,
+                    target_layer=args.target_layer, target_step=args.target_step,
+                    similarity=similarity, seed=args.seed, ip_adapter=args.ip_adapter,
+                )
+        else:
+            def score_pairs(pa, pb, prompts):
+                return scorer.score_feats_batch(
+                    pa, pb, prompt=prompts, target_block=args.target_block,
+                    target_layer=args.target_layer, target_step=args.target_step,
+                    similarity=similarity, seed=args.seed,
+                )
+
+        return MetricAdapter(score_pairs, lower)
+
+    if name == "dit":
+        from diffsim_tpu.metrics.diffsim_dit import DiffSimDiT
+
+        scorer = DiffSimDiT(
+            params=_load_params(getattr(args, "weights", None)),
+            img_size=args.image_size,
+            mesh=mesh,
+        )
+
+        def score_pairs(pa, pb, prompts):
+            return scorer.score_batch(
+                pa, pb, target_layer=args.target_layer, target_step=args.target_step,
+                similarity=similarity, seed=args.seed,
+            )
+
+        return MetricAdapter(score_pairs, lower)
+
+    if name == "diffsim_xl":
+        from diffsim_tpu.metrics.diffsim_xl import DiffSimXL
+
+        scorer = DiffSimXL(
+            params=_load_params(getattr(args, "weights", None)),
+            img_size=args.image_size,
+            mesh=mesh,
+            cfg_parity=getattr(args, "cfg_parity", True),
+        )
+
+        def score_pairs(pa, pb, prompts):
+            return scorer.score_batch(
+                pa, pb, prompt=prompts, target_block=args.target_block,
+                target_layer=args.target_layer, target_step=args.target_step,
+                similarity=similarity, seed=args.seed, ip_adapter=args.ip_adapter,
+            )
+
+        return MetricAdapter(score_pairs, lower)
+
+    if name in ("clip_i", "clip_cross", "clipfeats"):
+        from diffsim_tpu.metrics.clip_i import CLIPScore
+
+        scorer = CLIPScore(params=_load_params(getattr(args, "weights", None)), mesh=mesh)
+        if name == "clip_i":
+            fn = lambda pa, pb, prompts: scorer.clipi_score_batch(pa, pb)
+            return MetricAdapter(fn, False, preprocess=scorer.preprocess)
+        if name == "clip_cross":
+            fn = lambda pa, pb, prompts: scorer.clip_cross_score_batch(pa, pb, args.target_layer)
+            return MetricAdapter(fn, False, preprocess=scorer.preprocess)
+        fn = lambda pa, pb, prompts: scorer.clip_feature_score_batch(pa, pb, args.target_layer)
+        return MetricAdapter(fn, False, preprocess=scorer.preprocess)
+
+    if name in ("dino", "dino_cross", "dinofeats", "dinov1"):
+        from diffsim_tpu.metrics.dino import DinoScore, Dinov2Score
+
+        scorer = (DinoScore if name == "dinov1" else Dinov2Score)(
+            params=_load_params(getattr(args, "weights", None)), mesh=mesh
+        )
+        if name in ("dino", "dinov1"):
+            fn = lambda pa, pb, prompts: scorer.dino_score_batch(pa, pb)
+            return MetricAdapter(fn, False, preprocess=scorer.preprocess)
+        if name == "dino_cross":
+            fn = lambda pa, pb, prompts: scorer.dino_cross_score_batch(pa, pb, args.target_layer)
+            return MetricAdapter(fn, False, preprocess=scorer.preprocess)
+        fn = lambda pa, pb, prompts: scorer.dino_feature_score_batch(pa, pb, args.target_layer)
+        return MetricAdapter(fn, False, preprocess=scorer.preprocess)
+
+    if name == "lpips":
+        from diffsim_tpu.metrics.lpips import LPIPS
+
+        scorer = LPIPS(params=_load_params(getattr(args, "weights", None)), mesh=mesh)
+        return MetricAdapter(lambda pa, pb, prompts: scorer.score_batch(pa, pb), True)
+
+    if name == "gram":
+        from diffsim_tpu.metrics.vgg_gram import VGGGram
+
+        scorer = VGGGram(params=_load_params(getattr(args, "weights", None)), mesh=mesh)
+        return MetricAdapter(lambda pa, pb, prompts: scorer.score_batch(pa, pb), False)
+
+    if name == "cute":
+        from diffsim_tpu.metrics.ffa import ForegroundFeatureAveraging
+
+        scorer = ForegroundFeatureAveraging(params=_load_params(getattr(args, "weights", None)), mesh=mesh)
+        return MetricAdapter(
+            lambda pa, pb, prompts: scorer.score_batch("Crop-Feat", pa, pb), False,
+            preprocess=scorer.preprocess,
+        )
+
+    raise ValueError(f"unknown metric: {name}")
+
+
+def _load_params(path):
+    if not path:
+        return None
+    from diffsim_tpu.convert import load_params
+
+    return load_params(path)
+
+
+def _load_tokenizer(path):
+    if not path:
+        return None
+    import os
+
+    from diffsim_tpu.core.tokenizer import CLIPTokenizer
+
+    return CLIPTokenizer.from_files(
+        os.path.join(path, "vocab.json"), os.path.join(path, "merges.txt")
+    )

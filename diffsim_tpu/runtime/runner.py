@@ -1,0 +1,188 @@
+"""Batched 2AFC benchmark executor.
+
+The reference drivers score one pair at a time inside the protocol loop
+(/root/reference/cute_main.py:111-205). Here planning (data.benchmarks) is separate, so the
+executor batches the two pairs of every comparison across the whole benchmark, prefetches and
+decodes images on host threads while the TPU scores the previous batch, logs every comparison
+to JSONL (resumable), and reproduces each driver's accuracy arithmetic exactly — including the
+quirks: TID2013 and DreamBench++ compare with ``>`` regardless of --similarity
+(/root/reference/tid_main.py:165-166, dreambench_main.py:203), while CUTE/Sref/IPref flip for
+mse/lpips, and NIGHTS/DreamBench compare against human votes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import numpy as np
+
+from diffsim_tpu.core.image import ImageLoader
+from diffsim_tpu.data.benchmarks import Comparison
+from diffsim_tpu.runtime.results import ResultLog
+
+# decision rules (which driver uses which arithmetic)
+STANDARD = "standard"  # b-wins, direction flips for lower-better metrics; tracks 2x accuracy
+ALWAYS_GREATER = "always_greater"  # TID2013: s_ab > s_ac regardless of similarity
+VOTE = "vote"  # NIGHTS: predicted (direction-aware) == vote
+VOTE_GREATER = "vote_greater"  # DreamBench++: predicted = 0 if s_ab > s_ac else 1; == vote
+
+
+@dataclasses.dataclass
+class Report:
+    total: int = 0
+    correct: int = 0
+    correct_2x: int = 0
+
+    @property
+    def accuracy(self) -> float:
+        return self.correct / self.total * 100 if self.total else 0.0
+
+    @property
+    def accuracy_2x(self) -> float:
+        return self.correct_2x / self.total * 100 if self.total else 0.0
+
+
+def judge(rule: str, s_ab: float, s_ac: float, vote, lower_better: bool) -> tuple[bool, bool]:
+    """(correct, correct_2x) for one comparison."""
+    if rule == STANDARD:
+        if lower_better:
+            return s_ab < s_ac, s_ab * 2 < s_ac
+        return s_ab > s_ac, s_ab > 2 * s_ac
+    if rule == ALWAYS_GREATER:
+        return s_ab > s_ac, False
+    if rule == VOTE:
+        predicted = int(s_ab < s_ac) if lower_better else int(s_ab > s_ac)
+        return predicted == vote, False
+    if rule == VOTE_GREATER:
+        predicted = 0 if s_ab > s_ac else 1
+        return predicted == vote, False
+    raise ValueError(f"unknown decision rule: {rule}")
+
+
+def run_2afc(
+    comparisons: Sequence[Comparison],
+    score_pairs: Callable[[np.ndarray, np.ndarray, list[str]], np.ndarray],
+    *,
+    rule: str = STANDARD,
+    lower_better: bool = False,
+    img_size: int = 512,
+    batch: int = 16,
+    out_path: str | None = None,
+    log_every: int = 450,
+    loader: ImageLoader | None = None,
+    print_fn=print,
+) -> Report:
+    """Score all comparisons and report accuracy.
+
+    ``score_pairs(pix_a, pix_b, prompts) -> scores`` is the metric adapter; pixel arrays are
+    (N, H, W, 3) in [-1, 1]. Each batch of B comparisons issues one 2B-pair scoring call
+    ([(a,b)..., (a,c)...]).
+    """
+    log = ResultLog(out_path)
+    loader = loader or ImageLoader(img_size)
+    report = Report()
+
+    pending = [i for i in range(len(comparisons)) if i not in log.done]
+    # prefetch image decode ahead of the device
+    chunks = [pending[i : i + batch] for i in range(0, len(pending), batch)]
+
+    def decode(chunk):
+        futs = []
+        for i in chunk:
+            c = comparisons[i]
+            futs.append((loader.submit(c.a), loader.submit(c.b), loader.submit(c.c)))
+        return futs
+
+    inflight = []
+    ci = 0
+    PREFETCH = 2
+    while ci < len(chunks) and len(inflight) < PREFETCH:
+        inflight.append((chunks[ci], decode(chunks[ci])))
+        ci += 1
+
+    while inflight:
+        chunk, futs = inflight.pop(0)
+        arrs = [(fa.result(), fb.result(), fc.result()) for fa, fb, fc in futs]
+        if ci < len(chunks):
+            inflight.append((chunks[ci], decode(chunks[ci])))
+            ci += 1
+        pix_a = np.concatenate([a for a, _, _ in arrs] * 2, axis=0)
+        pix_bc = np.concatenate([b for _, b, _ in arrs] + [c for _, _, c in arrs], axis=0)
+        prompts = [comparisons[i].prompt for i in chunk] * 2
+        scores = score_pairs(pix_a, pix_bc, prompts)
+        n = len(chunk)
+        for j, i in enumerate(chunk):
+            log.record(i, s_ab=float(scores[j]), s_ac=float(scores[n + j]))
+
+    for i in range(len(comparisons)):
+        rec = log.done.get(i)
+        if rec is None:
+            continue
+        ok, ok2 = judge(rule, rec["s_ab"], rec["s_ac"], comparisons[i].vote, lower_better)
+        report.total += 1
+        report.correct += int(ok)
+        report.correct_2x += int(ok2)
+        if log_every and report.total % log_every == 0:
+            print_fn(f"Current total samples: {report.total}")
+            print_fn(f"Total {report.total}; Correct {report.correct}; Correct 2x {report.correct_2x}")
+            print_fn(f"Accuracy: {report.accuracy}%")
+
+    log.close()
+    print_fn(f"Total comparisons: {report.total}")
+    print_fn(f"Total {report.total}; Correct {report.correct}; Correct 2x {report.correct_2x}")
+    print_fn(f"Accuracy: {report.accuracy}%")
+    if rule == STANDARD:
+        print_fn(f"2x Accuracy: {report.accuracy_2x}%")
+    return report
+
+
+def run_2afc_ensemble(
+    comparisons: Sequence[Comparison],
+    scorers: Sequence[tuple[Callable, bool, Callable | None]],
+    *,
+    vote_based: bool = False,
+    img_size: int = 512,
+    batch: int = 16,
+    out_path: str | None = None,
+    print_fn=print,
+) -> Report:
+    """The reference's 2-of-3 majority vote (/root/reference/cute_main.py:189-194): each
+    (score_pairs, lower_better, preprocess) entry votes b-vs-c; >= 2 votes for b counts as
+    correct (or is compared to the human vote when ``vote_based``)."""
+    all_scores = []
+    for idx, (score_pairs, _lb, preprocess) in enumerate(scorers):
+        path = f"{out_path}.m{idx}" if out_path else None
+        log = ResultLog(path)
+        loader = ImageLoader(img_size, preprocess=preprocess)
+        pending = [i for i in range(len(comparisons)) if i not in log.done]
+        for start in range(0, len(pending), batch):
+            chunk = pending[start : start + batch]
+            pa = loader.load_batch([comparisons[i].a for i in chunk] * 2)
+            pbc = loader.load_batch(
+                [comparisons[i].b for i in chunk] + [comparisons[i].c for i in chunk]
+            )
+            prompts = [comparisons[i].prompt for i in chunk] * 2
+            s = score_pairs(pa, pbc, prompts)
+            for j, i in enumerate(chunk):
+                log.record(i, s_ab=float(s[j]), s_ac=float(s[len(chunk) + j]))
+        all_scores.append(dict(log.done))
+        log.close()
+
+    report = Report()
+    for i, c in enumerate(comparisons):
+        votes = 0
+        for scores, (_, lb, _pp) in zip(all_scores, scorers):
+            rec = scores[i]
+            b_wins = rec["s_ab"] < rec["s_ac"] if lb else rec["s_ab"] > rec["s_ac"]
+            votes += int(b_wins)
+        majority_b = votes >= 2
+        if vote_based:
+            ok = (c.vote == 1 and majority_b) or (c.vote == 0 and not majority_b)
+        else:
+            ok = majority_b
+        report.total += 1
+        report.correct += int(ok)
+    print_fn(f"Total {report.total}; Correct {report.correct}")
+    print_fn(f"Accuracy: {report.accuracy}%")
+    return report

@@ -1,0 +1,147 @@
+"""Driver protocol + CLI tests over the miniature on-disk fixtures (tiny models, CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from diffsim_tpu.data import benchmarks
+from diffsim_tpu.runtime import runner
+from tests import fixtures
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bench"))
+    cute = fixtures.make_cute(root)
+    style = fixtures.make_style(root)
+    nights = fixtures.make_nights(root)
+    tid = fixtures.make_tid(root)
+    ipref, ipref_orig = fixtures.make_ipref(root)
+    dreambench = fixtures.make_dreambench(root)
+    return dict(root=root, cute=cute, style=style, nights=nights, tid=tid,
+                ipref=ipref, ipref_orig=ipref_orig, dreambench=dreambench)
+
+
+def test_cute_planner(data):
+    comps = benchmarks.cute(data["cute"], seed=2334)
+    # 2 classes x 10 experiments x 2 lvl2 dirs = 40 triplets
+    assert len(comps) == 40
+    c = comps[0]
+    assert c.prompt == "The photo of a cat"
+    # A,B from one lvl3 dir; C has the same lvl3 name under the other lvl2 dir
+    assert os.path.dirname(c.a) == os.path.dirname(c.b)
+    assert os.path.basename(os.path.dirname(c.c)) == os.path.basename(os.path.dirname(c.a))
+    assert os.path.dirname(c.a) != os.path.dirname(c.c)
+    # deterministic under the seed
+    assert [
+        (x.a, x.b, x.c) for x in benchmarks.cute(data["cute"], seed=2334)
+    ] == [(x.a, x.b, x.c) for x in comps]
+    assert [(x.a, x.b) for x in benchmarks.cute(data["cute"], seed=1)] != [(x.a, x.b) for x in comps]
+
+
+def test_style_planner(data):
+    comps = benchmarks.style(data["style"], seed=2333, num_triplets=50)
+    assert len(comps) == 50
+    for c in comps[:10]:
+        assert os.path.dirname(c.a) == os.path.dirname(c.b)
+        assert os.path.dirname(c.a) != os.path.dirname(c.c)
+        assert c.prompt == "High quality image"
+
+
+def test_nights_planner(data):
+    comps = benchmarks.nights(data["nights"])
+    assert len(comps) == 4  # val split only
+    assert comps[0].prompt == "An image of a thing 0"
+    assert comps[0].vote in (0, 1)
+
+
+def test_tid_planner(data):
+    comps = benchmarks.tid2013(data["tid"])
+    assert len(comps) == 2 * 3
+    for c in comps:
+        assert c.b.endswith("_2.bmp") or c.b.endswith("_2.BMP")
+        assert c.c.endswith("_3.bmp") or c.c.endswith("_3.BMP")
+
+
+def test_ipref_planner(data):
+    comps = benchmarks.ipref(data["ipref"], data["ipref_orig"])
+    assert len(comps) == 2 * 5
+    assert comps[0].a.endswith("ipA.JPG")
+    assert comps[0].b.endswith("1.0.png") and comps[0].c.endswith("0.6.png")
+
+
+def test_dreambench_planner(data):
+    comps = benchmarks.dreambench(data["dreambench"], seed=0)
+    # ratings 0..3 with gap >= 2 -> unordered pairs (0,2),(0,3),(1,3) = 3 per ref, 2 refs
+    assert len(comps) == 6
+    for c in comps:
+        assert c.vote in (0, 1)
+        assert c.a.endswith("0_0.jpg")
+
+
+def test_judge_rules():
+    # standard cosine: b wins when higher; 2x when > 2*
+    assert runner.judge(runner.STANDARD, 0.9, 0.4, None, False) == (True, True)
+    assert runner.judge(runner.STANDARD, 0.9, 0.5, None, False) == (True, False)
+    # standard mse: lower better, 2x when ab*2 < ac
+    assert runner.judge(runner.STANDARD, 0.1, 0.3, None, True) == (True, True)
+    # TID: always greater even for mse (reference quirk, tid_main.py:165)
+    assert runner.judge(runner.ALWAYS_GREATER, 0.1, 0.3, None, True) == (False, False)
+    # NIGHTS: prediction vs vote
+    assert runner.judge(runner.VOTE, 0.9, 0.4, 1, False) == (True, False)
+    assert runner.judge(runner.VOTE, 0.9, 0.4, 0, False) == (False, False)
+    # DreamBench: fixed > direction vs vote
+    assert runner.judge(runner.VOTE_GREATER, 0.2, 0.4, 1, True) == (True, False)
+
+
+def test_run_2afc_with_fake_scorer(data, tmp_path):
+    comps = benchmarks.tid2013(data["tid"])
+
+    def fake_scores(pa, pb, prompts):
+        # score = mean brightness agreement -> deterministic, path-independent
+        return np.array([1.0 - abs(float(a.mean()) - float(b.mean())) for a, b in zip(pa, pb)])
+
+    out = str(tmp_path / "res.jsonl")
+    rep1 = runner.run_2afc(comps, fake_scores, rule=runner.ALWAYS_GREATER, out_path=out,
+                           img_size=32, batch=4, print_fn=lambda *_: None)
+    assert rep1.total == len(comps)
+    # resume: second run reads the JSONL and rescoring is skipped entirely
+    def exploding(*a):
+        raise AssertionError("should not rescore")
+    rep2 = runner.run_2afc(comps, exploding, rule=runner.ALWAYS_GREATER, out_path=out,
+                           img_size=32, batch=4, print_fn=lambda *_: None)
+    assert rep2.correct == rep1.correct and rep2.total == rep1.total
+
+
+def test_cli_cute_tiny_end_to_end(data, tmp_path, capsys):
+    from diffsim_tpu.cli.main import run_benchmark
+
+    rep = run_benchmark(
+        "cute",
+        [
+            "--image_path", data["cute"], "--image_size", "32", "--metric", "diffsim",
+            "--target_block", "up_blocks", "--target_layer", "0", "--target_step", "600",
+            "--similarity", "cosine", "--seed", "2334", "--model_scale", "tiny",
+            "--batch_size", "8", "--results", str(tmp_path / "cute.jsonl"),
+        ],
+    )
+    captured = capsys.readouterr().out
+    assert rep.total == 40
+    assert 0 <= rep.correct <= rep.total
+    assert "Accuracy:" in captured
+    assert "=========seed 2334=========" in captured
+
+
+def test_cli_nights_tiny_end_to_end(data, tmp_path):
+    from diffsim_tpu.cli.main import run_benchmark
+
+    rep = run_benchmark(
+        "nights",
+        [
+            "--image_path", data["nights"], "--image_size", "32", "--metric", "diffsim",
+            "--target_layer", "0", "--target_step", "600", "--similarity", "cosine",
+            "--model_scale", "tiny", "--batch_size", "4",
+        ],
+    )
+    assert rep.total == 4
