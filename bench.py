@@ -38,8 +38,9 @@ def main():
 
     batch = BATCH * n_dev
     rng = np.random.default_rng(0)
-    pix_a = rng.uniform(-1, 1, (batch, IMG, IMG, 3)).astype(np.float32)
-    pix_b = rng.uniform(-1, 1, (batch, IMG, IMG, 3)).astype(np.float32)
+    # uint8 transport (the production path): pixels are normalized in-graph
+    pix_a = rng.integers(0, 256, (batch, IMG, IMG, 3), dtype=np.uint8)
+    pix_b = rng.integers(0, 256, (batch, IMG, IMG, 3), dtype=np.uint8)
 
     kwargs = dict(
         prompt="The photo of a benchmark",

@@ -41,6 +41,68 @@ def load_and_process(path, img_size: int = 512) -> np.ndarray:
     return process_image(load_image(path), img_size)
 
 
+def process_image_u8(image: Image.Image, img_size: int = 512) -> np.ndarray:
+    """Transport-optimized variant: RGB lanczos resize, (1, H, W, 3) uint8. The [-1, 1]
+    mapping happens in-graph (``u8/127.5 - 1`` is bit-identical in f32 to the host float
+    pipeline) — pixel uploads to the device are 4x smaller than float32."""
+    image = image.convert("RGB")
+    image = image.resize((img_size, img_size), resample=Image.LANCZOS)
+    return np.asarray(image, dtype=np.uint8)[None]
+
+
+def clip_preprocess_u8(image: Image.Image, size: int = 224) -> np.ndarray:
+    """CLIP resize/crop on host, uint8 out; mean/std normalization happens in-graph."""
+    image = _shortest_side_resize(image.convert("RGB"), size)
+    arr = np.asarray(image, np.uint8)
+    return _center_crop(arr, size)[None]
+
+
+def dino_preprocess_u8(image: Image.Image, resize: int = 256, crop: int = 224) -> np.ndarray:
+    image = _shortest_side_resize(image.convert("RGB"), resize)
+    arr = np.asarray(image, np.uint8)
+    return _center_crop(arr, crop)[None]
+
+
+def _shortest_side_resize(image: Image.Image, size: int, resample=Image.BICUBIC) -> Image.Image:
+    w, h = image.size
+    short, long = (w, h) if w <= h else (h, w)
+    new_short = size
+    new_long = int(size * long / short)
+    nw, nh = (new_short, new_long) if w <= h else (new_long, new_short)
+    return image.resize((nw, nh), resample=resample)
+
+
+def _center_crop(arr: np.ndarray, size: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return arr[top : top + size, left : left + size]
+
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def clip_preprocess(image: Image.Image, size: int = 224) -> np.ndarray:
+    """HF CLIPProcessor pipeline: shortest-side bicubic resize to 224, center crop, 1/255,
+    CLIP mean/std. Returns (1, 224, 224, 3) f32."""
+    image = _shortest_side_resize(image.convert("RGB"), size)
+    arr = np.asarray(image, np.float32) / 255.0
+    arr = _center_crop(arr, size)
+    return ((arr - CLIP_MEAN) / CLIP_STD)[None]
+
+
+def dino_preprocess(image: Image.Image, resize: int = 256, crop: int = 224) -> np.ndarray:
+    """DINO/DINOv2 pipeline (torchvision transforms in /root/reference/metrics/dino.py:51-58
+    and HF BitImageProcessor): shortest side 256 bicubic, center crop 224, ImageNet norm."""
+    image = _shortest_side_resize(image.convert("RGB"), resize)
+    arr = np.asarray(image, np.float32) / 255.0
+    arr = _center_crop(arr, crop)
+    return ((arr - IMAGENET_MEAN) / IMAGENET_STD)[None]
+
+
 class ImageLoader:
     """Threaded prefetching loader: decode+resize many images concurrently on the host while
     the TPU computes. PIL releases the GIL during decode and resize, so threads scale.

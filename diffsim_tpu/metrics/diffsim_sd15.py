@@ -28,7 +28,7 @@ from diffsim_tpu.core.image import load_and_process
 from diffsim_tpu.core.tokenizer import HashTokenizer
 from diffsim_tpu.metrics import readout
 from diffsim_tpu.models import clip_text, unet, vae
-from diffsim_tpu.ops.taps import IP_QKV, QKV, TapSpec
+from diffsim_tpu.ops.taps import IP_QKV, OUTPUT, QKV, TapSpec
 from diffsim_tpu.parallel import mesh as meshlib
 
 
@@ -97,13 +97,15 @@ class DiffSimSD15:
         self.cfg_parity = cfg_parity and guidance_scale > 1.0
         self.tokenizer = tokenizer or HashTokenizer(self.text_cfg.vocab_size)
         if params is None:
-            k = jax.random.PRNGKey(init_seed)
-            ku, kv, kt = jax.random.split(k, 3)
-            params = {
-                "unet": unet.init(ku, self.unet_cfg, dtype),
-                "vae": vae.encoder_init(kv, self.vae_cfg, dtype),
-                "text": clip_text.init(kt, self.text_cfg, dtype),
-            }
+            # init on the host CPU backend: eager per-leaf ops on the TPU relay cost minutes
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                k = jax.random.PRNGKey(init_seed)
+                ku, kv, kt = jax.random.split(k, 3)
+                params = {
+                    "unet": unet.init(ku, self.unet_cfg, dtype),
+                    "vae": vae.encoder_init(kv, self.vae_cfg, dtype),
+                    "text": clip_text.init(kt, self.text_cfg, dtype),
+                }
         self.params = self._place(params)
         self._prompt_cache: dict[str, jax.Array] = {}
         self._encode_jit = jax.jit(
@@ -112,9 +114,8 @@ class DiffSimSD15:
 
     def _place(self, params):
         if self.mesh is None:
-            return params
-        repl = meshlib.replicated(self.mesh)
-        return jax.device_put(params, repl)
+            return jax.device_put(params, jax.devices()[0])
+        return jax.device_put(params, meshlib.replicated(self.mesh))
 
     # ------------------------------------------------------------------
     # prompt encoding (cached per prompt string; the reference re-encodes per step call)
@@ -146,6 +147,10 @@ class DiffSimSD15:
             P, two, H, W, _ = pix.shape
             h, w = H // down, W // down
 
+            if pix.dtype == jnp.uint8:
+                # transport-optimized path: pixels travel as uint8 (4x less relay traffic),
+                # the [-1, 1] mapping is fused into the graph
+                pix = (pix.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
             moments = vae.encoder_apply(params["vae"], pix.reshape(P * 2, H, W, 3))
             moments = moments.reshape(P, 2, h, w, 2 * latent_c)
             # reference draw order per pair: vae_A, vae_B, noise_A, noise_B — one seeded
@@ -183,8 +188,16 @@ class DiffSimSD15:
             _, taps = unet.apply(
                 params["unet"], x_in, jnp.float32(model_t), ctx, unet_cfg, tap=tap
             )
-            q, k, v = taps["q"], taps["k"], taps["v"]
             nb = 2 * per_img
+            if tap.capture == OUTPUT:
+                # diffeats readout: attn1 output features, per-image min-max normalize,
+                # cosine (/root/reference/metrics/diffeats.py:136-205)
+                out = taps["out"]
+                out = out.reshape((P, nb) + out.shape[1:])
+                return readout.feature_score(
+                    out[:, :per_img], out[:, per_img:], similarity, minmax_normalize=True
+                )
+            q, k, v = taps["q"], taps["k"], taps["v"]
             q = q.reshape((P, nb) + q.shape[1:])
             k = k.reshape((P, nb) + k.shape[1:])
             v = v.reshape((P, nb) + v.shape[1:])
@@ -227,7 +240,8 @@ class DiffSimSD15:
         tap = sd15_tap(target_block, target_layer, ip_adapter, fix_layer_collapse)
         spec = schedulers.sd15_noise_spec(target_step)
         P = pix_a.shape[0]
-        pix = np.stack([pix_a, pix_b], axis=1).astype(np.float32)
+        transport_dtype = np.uint8 if pix_a.dtype == np.uint8 else self.dtype
+        pix = np.stack([pix_a, pix_b], axis=1).astype(transport_dtype)
         prompts = [prompt] * P if isinstance(prompt, str) else list(prompt)
         assert len(prompts) == P, (len(prompts), P)
         pad = 0
@@ -242,7 +256,51 @@ class DiffSimSD15:
         fn = self._score_fn(tap, similarity)
         scores = fn(
             self.params,
-            jnp.asarray(pix, self.dtype),
+            jnp.asarray(pix),
+            embeds,
+            (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
+            key,
+        )
+        out = np.asarray(jax.device_get(scores), np.float32)
+        return out[:P] if pad else out
+
+    def score_feats_batch(
+        self,
+        pix_a: np.ndarray,
+        pix_b: np.ndarray,
+        *,
+        prompt="",
+        target_block: str = "up_blocks",
+        target_layer=0,
+        target_step: int = 600,
+        similarity: str = "cosine",
+        seed: int = 2333,
+    ) -> np.ndarray:
+        """DiffFeats ablation: attn1 OUTPUT features, min-max normalized, cosine
+        (/root/reference/metrics/diffeats.py:142-205). Unlike the diffsim path, the
+        length-1 target_layer list unwraps correctly (diffeats.py:143-144)."""
+        if isinstance(target_layer, (list, tuple)):
+            target_layer = target_layer[0]
+        base = sd15_tap(target_block, int(target_layer), fix_layer_collapse=True)
+        tap = TapSpec(base.block, base.address, "attn1", OUTPUT)
+        spec = schedulers.sd15_noise_spec(target_step)
+        P = pix_a.shape[0]
+        transport_dtype = np.uint8 if pix_a.dtype == np.uint8 else self.dtype
+        pix = np.stack([pix_a, pix_b], axis=1).astype(transport_dtype)
+        prompts = [prompt] * P if isinstance(prompt, str) else list(prompt)
+        pad = 0
+        if self.mesh is not None:
+            target = meshlib.pad_to_multiple(P, meshlib.data_axis_size(self.mesh))
+            pad = target - P
+            if pad:
+                pix = np.concatenate([pix, np.repeat(pix[-1:], pad, 0)], axis=0)
+                prompts = prompts + [prompts[-1]] * pad
+        embeds = np.stack([self.encode_prompt(p) for p in prompts])
+        key = jax.random.PRNGKey(int(seed))
+        fn = self._score_fn(tap, similarity)
+        scores = fn(
+            self.params,
+            jnp.asarray(pix),
             embeds,
             (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
             key,

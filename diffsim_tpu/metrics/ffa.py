@@ -1,0 +1,144 @@
+"""Foreground Feature Averaging — the "cute" baseline
+(/root/reference/metrics/foreground_feature_averaging.py).
+
+Pipeline: background removal (alpha matting) -> DINOv2 ViT-B/14 at 336x336 -> foreground mask
+from the matted image downsampled to the 24x24 patch grid -> masked mean over patch tokens ->
+cosine. The reference's matting engine is carvekit (TracerB7+FBA) — a torch-only stack we
+cannot port faithfully (SURVEY.md §7 step 8 flags this); the matting hook here is pluggable:
+
+* ``matting=None`` (default): a border-statistics heuristic (pixels close to the median border
+  color are background) — documented divergence, same downstream math;
+* ``matting=callable``: a user-supplied ``PIL -> RGBA PIL`` (e.g. wrapping carvekit outputs);
+* precomputed RGBA images can be fed straight into ``score_batch_rgba``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from diffsim_tpu.core.image import IMAGENET_MEAN, IMAGENET_STD
+from diffsim_tpu.models import dinov2 as dino_model
+from diffsim_tpu.parallel import mesh as meshlib
+
+_SIZE = 336
+_GRID = 24  # 336 / 14
+
+
+def heuristic_matting(image: Image.Image, threshold: float = 60.0) -> Image.Image:
+    """Border-statistics alpha matte: pixels within ``threshold`` L2 distance of the median
+    border color get alpha 0."""
+    rgb = np.asarray(image.convert("RGB"), np.float32)
+    border = np.concatenate(
+        [rgb[0], rgb[-1], rgb[:, 0], rgb[:, -1]], axis=0
+    )
+    bg = np.median(border, axis=0)
+    dist = np.sqrt(((rgb - bg) ** 2).sum(-1))
+    alpha = (dist > threshold).astype(np.uint8) * 255
+    rgba = np.dstack([rgb.astype(np.uint8), alpha])
+    return Image.fromarray(rgba, "RGBA")
+
+
+class ForegroundFeatureAveraging:
+    def __init__(self, params=None, *, cfg=None, mesh=None, dtype=jnp.float32,
+                 matting=None, init_seed: int = 0):
+        self.cfg = cfg or dino_model.DinoConfig.v2_base()
+        self.mesh = mesh
+        self.matting = matting or heuristic_matting
+        if params is None:
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                params = dino_model.init(jax.random.PRNGKey(init_seed), self.cfg, dtype)
+        self.params = jax.device_put(
+            params, meshlib.replicated(mesh) if mesh is not None else jax.devices()[0]
+        )
+
+    # host side ---------------------------------------------------------------
+
+    def preprocess(self, pil_image) -> np.ndarray:
+        """Matting + 336x336 bicubic resize; returns (1, 336, 336, 4) uint8 RGBA (alpha==0
+        pixels already zeroed, as the reference does before preprocessing)."""
+        rgba = np.asarray(self.matting(pil_image), np.uint8).copy()
+        rgba[rgba[..., 3] == 0] = 0
+        img = Image.fromarray(rgba, "RGBA").resize((_SIZE, _SIZE), Image.BICUBIC)
+        return np.asarray(img, np.uint8)[None]
+
+    @staticmethod
+    def _mask_from_rgb(rgb_sum: np.ndarray) -> np.ndarray:
+        """get_foreground_mask (reference :55-73): background = pixels at the channel-sum
+        minimum; mask bilinear-resized to the 24x24 grid, thresholded at 0.5; all-zero masks
+        fall back to all-ones."""
+        mask = (rgb_sum != rgb_sum.min()).astype(np.uint8) * 255
+        resized = np.asarray(
+            Image.fromarray(mask).resize((_GRID, _GRID), Image.BILINEAR), np.float32
+        ) / 255.0
+        out = (resized > 0.5).astype(np.float32)
+        if out.sum() == 0:
+            out = np.ones_like(out)
+        return out
+
+    # device side -------------------------------------------------------------
+
+    @functools.cached_property
+    def _feat_fn(self):
+        def fn(params, pixels, masks):
+            # pixels uint8 (B, 336, 336, 3); masks (B, 24, 24)
+            x = (pixels.astype(jnp.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+            out = dino_model.apply(params, x, self.cfg)
+            patches = out["last_hidden_state"][:, 1:]  # x_norm_patchtokens
+            grid = patches.reshape(patches.shape[0], _GRID, _GRID, -1)
+            m = masks[..., None]
+            return (grid * m).sum(axis=(1, 2)) / jnp.maximum(m.sum(axis=(1, 2)), 1e-6)
+
+        if self.mesh is not None:
+            ds = meshlib.data_sharding(self.mesh)
+            rs = meshlib.replicated(self.mesh)
+            return jax.jit(fn, in_shardings=(rs, ds, ds), out_shardings=ds)
+        return jax.jit(fn)
+
+    def features(self, rgba_batch: np.ndarray, variant: str = "Crop-Feat",
+                 raw_batch: np.ndarray | None = None) -> np.ndarray:
+        """rgba_batch (B, 336, 336, 4) uint8 matted images; raw_batch optional un-matted
+        pixels for the Crop-Img variant."""
+        rgb = rgba_batch[..., :3]
+        # normalized-pixel channel-sum reproduces the reference's mask source (it sums the
+        # ImageNet-normalized tensor; the minimum is the zeroed background either way)
+        masks = np.stack([
+            self._mask_from_rgb(((r / 255.0 - IMAGENET_MEAN) / IMAGENET_STD).sum(-1))
+            for r in rgb
+        ])
+        if variant == "Crop-Feat":
+            pixels = rgb
+        elif variant == "Crop-Img":
+            assert raw_batch is not None, "Crop-Img needs the un-matted pixels"
+            pixels = raw_batch
+        else:
+            raise ValueError(f"unknown variant: {variant}")
+        pad = 0
+        if self.mesh is not None:
+            target = meshlib.pad_to_multiple(pixels.shape[0], meshlib.data_axis_size(self.mesh))
+            pad = target - pixels.shape[0]
+            if pad:
+                pixels = np.concatenate([pixels, np.repeat(pixels[-1:], pad, 0)])
+                masks = np.concatenate([masks, np.repeat(masks[-1:], pad, 0)])
+        out = np.asarray(self._feat_fn(self.params, jnp.asarray(pixels), jnp.asarray(masks)))
+        return out[: out.shape[0] - pad] if pad else out
+
+    def score_batch(self, variant: str, rgba_a: np.ndarray, rgba_b: np.ndarray) -> np.ndarray:
+        fa = self.features(np.asarray(rgba_a), variant)
+        fb = self.features(np.asarray(rgba_b), variant)
+        dot = np.sum(fa * fb, axis=-1)
+        na = np.maximum(np.linalg.norm(fa, axis=-1), 1e-8)
+        nb = np.maximum(np.linalg.norm(fb, axis=-1), 1e-8)
+        return dot / (na * nb)
+
+    def __call__(self, variant: str, images_a, images_b=None):
+        """Reference-shaped API: lists of PIL images (forward, :75-92)."""
+        rgba_a = np.concatenate([self.preprocess(i) for i in images_a])
+        if images_b is None:
+            return self.features(rgba_a, variant)
+        rgba_b = np.concatenate([self.preprocess(i) for i in images_b])
+        return float(self.score_batch(variant, rgba_a, rgba_b)[0])

@@ -61,6 +61,10 @@ def build_metric(args, mesh=None) -> MetricAdapter:
             **kw,
         )
 
+        from diffsim_tpu.core.image import process_image_u8
+
+        u8 = lambda img: process_image_u8(img, args.image_size)
+
         if name == "diffsim":
             def score_pairs(pa, pb, prompts):
                 return scorer.score_batch(
@@ -76,7 +80,7 @@ def build_metric(args, mesh=None) -> MetricAdapter:
                     similarity=similarity, seed=args.seed,
                 )
 
-        return MetricAdapter(score_pairs, lower)
+        return MetricAdapter(score_pairs, lower, preprocess=u8)
 
     if name == "dit":
         from diffsim_tpu.metrics.diffsim_dit import DiffSimDiT
@@ -93,7 +97,9 @@ def build_metric(args, mesh=None) -> MetricAdapter:
                 similarity=similarity, seed=args.seed,
             )
 
-        return MetricAdapter(score_pairs, lower)
+        from diffsim_tpu.core.image import process_image_u8 as _p8
+
+        return MetricAdapter(score_pairs, lower, preprocess=lambda img: _p8(img, args.image_size))
 
     if name == "diffsim_xl":
         from diffsim_tpu.metrics.diffsim_xl import DiffSimXL
@@ -112,7 +118,9 @@ def build_metric(args, mesh=None) -> MetricAdapter:
                 similarity=similarity, seed=args.seed, ip_adapter=args.ip_adapter,
             )
 
-        return MetricAdapter(score_pairs, lower)
+        from diffsim_tpu.core.image import process_image_u8 as _p8
+
+        return MetricAdapter(score_pairs, lower, preprocess=lambda img: _p8(img, args.image_size))
 
     if name in ("clip_i", "clip_cross", "clipfeats"):
         from diffsim_tpu.metrics.clip_i import CLIPScore

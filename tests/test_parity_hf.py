@@ -1,0 +1,210 @@
+"""Golden parity tests vs HuggingFace transformers (random weights, tiny configs, CPU).
+
+These validate the converter layouts and forward-math of our towers against the exact torch
+implementations the reference uses (transformers CLIP / Dinov2)."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from diffsim_tpu.convert import torch_import as TI
+from diffsim_tpu.models import clip_text, clip_vision, dinov2
+
+
+def test_clip_text_parity():
+    from transformers import CLIPTextConfig as HFCfg, CLIPTextModel
+
+    hf_cfg = HFCfg(vocab_size=100, hidden_size=32, intermediate_size=64,
+                   num_hidden_layers=2, num_attention_heads=2, max_position_embeddings=77)
+    torch.manual_seed(0)
+    model = CLIPTextModel(hf_cfg).eval()
+    cfg = clip_text.CLIPTextConfig(vocab_size=100, hidden=32, layers=2, heads=2, intermediate=64)
+    params = TI.convert_clip_text(TI.state_dict_numpy(model.text_model), cfg)
+
+    ids = np.array([[49, 3, 7, 99, 0], [49, 5, 99, 0, 0]], np.int32)
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(ids.astype(np.int64))).last_hidden_state.numpy()
+    ours = np.asarray(clip_text.apply(params, jnp.asarray(ids), cfg)["last_hidden_state"])
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_clip_vision_parity():
+    from transformers import CLIPVisionConfig as HFCfg, CLIPVisionModel
+
+    hf_cfg = HFCfg(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                   num_attention_heads=2, image_size=32, patch_size=8)
+    torch.manual_seed(1)
+    model = CLIPVisionModel(hf_cfg).eval()
+    cfg = clip_vision.CLIPVisionConfig(hidden=32, layers=2, heads=2, intermediate=64,
+                                       patch=8, image_size=32, projection_dim=32)
+    params = TI.convert_clip_vision(TI.state_dict_numpy(model.vision_model), cfg)
+
+    rng = np.random.default_rng(0)
+    pix = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(pix).permute(0, 3, 1, 2))
+    ours = clip_vision.apply(params, jnp.asarray(pix), cfg)
+    np.testing.assert_allclose(
+        np.asarray(ours["last_hidden_state"]), out.last_hidden_state.numpy(), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["pooled"]), out.pooler_output.numpy(), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_clip_vision_qkv_tap_matches_reference_hook():
+    """The reference hook computes Q/K/V on the layer's RAW input (no layer_norm1) — verify our
+    tap equals that exact computation on the torch side
+    (/root/reference/metrics/hooks.py:3-17)."""
+    from transformers import CLIPVisionConfig as HFCfg, CLIPVisionModel
+
+    hf_cfg = HFCfg(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                   num_attention_heads=2, image_size=32, patch_size=8)
+    torch.manual_seed(2)
+    model = CLIPVisionModel(hf_cfg).eval()
+    cfg = clip_vision.CLIPVisionConfig(hidden=32, layers=2, heads=2, intermediate=64,
+                                       patch=8, image_size=32, projection_dim=32)
+    params = TI.convert_clip_vision(TI.state_dict_numpy(model.vision_model), cfg)
+
+    stores = {}
+
+    def hook(module, args, output):
+        hidden = args[0]
+        attn = module.self_attn
+        bsz, tgt, emb = hidden.shape
+        q = attn.q_proj(hidden).view(bsz, -1, 2, emb // 2).transpose(1, 2)
+        k = attn.k_proj(hidden).view(bsz, -1, 2, emb // 2).transpose(1, 2)
+        v = attn.v_proj(hidden).view(bsz, -1, 2, emb // 2).transpose(1, 2)
+        stores["qkv"] = (q.detach().numpy(), k.detach().numpy(), v.detach().numpy())
+
+    model.vision_model.encoder.layers[1].register_forward_hook(hook)
+    rng = np.random.default_rng(3)
+    pix = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        model(torch.from_numpy(pix).permute(0, 3, 1, 2))
+
+    ours = clip_vision.apply(params, jnp.asarray(pix), cfg, tap_layer=1, capture="qkv")["taps"]
+    for name, theirs in zip("qkv", stores["qkv"]):
+        np.testing.assert_allclose(np.asarray(ours[name]), theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_dinov2_parity():
+    from transformers import Dinov2Config as HFCfg, Dinov2Model
+
+    hf_cfg = HFCfg(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                   num_attention_heads=2, image_size=32, patch_size=8)
+    torch.manual_seed(3)
+    model = Dinov2Model(hf_cfg).eval()
+    cfg = dinov2.DinoConfig(hidden=32, layers=2, heads=2, intermediate=64, patch=8, pos_grid=4)
+    params = TI.convert_dinov2(TI.state_dict_numpy(model), cfg)
+
+    rng = np.random.default_rng(4)
+    pix = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(pix).permute(0, 3, 1, 2))
+    ours = dinov2.apply(params, jnp.asarray(pix), cfg)
+    np.testing.assert_allclose(
+        np.asarray(ours["last_hidden_state"]), out.last_hidden_state.numpy(), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["cls"]), out.last_hidden_state[:, 0].numpy(), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_dinov2_pos_interpolation():
+    """Stored 4x4 grid, 48x48 input (6x6 grid) -> bicubic interpolation path runs and shapes
+    line up."""
+    cfg = dinov2.DinoConfig.tiny()
+    import jax
+
+    params = dinov2.init(jax.random.PRNGKey(0), cfg)
+    pix = np.random.default_rng(0).standard_normal((1, 48, 48, 3)).astype(np.float32)
+    out = dinov2.apply(params, jnp.asarray(pix), cfg)
+    assert out["last_hidden_state"].shape == (1, 37, 32)  # 6*6 + 1 tokens
+
+
+def test_clip_tokenizer_matches_hf(tmp_path):
+    from transformers import CLIPTokenizer as HFTok
+
+    from diffsim_tpu.core.tokenizer import CLIPTokenizer, bytes_to_unicode
+
+    # minimal but complete CLIP-style vocab: every byte char and its </w> form + merges
+    b2u = bytes_to_unicode()
+    chars = sorted(set(b2u.values()))
+    vocab = {}
+    for c in chars:
+        vocab[c] = len(vocab)
+    for c in chars:
+        vocab[c + "</w>"] = len(vocab)
+    merges = [("t", "h"), ("th", "e</w>"), ("c", "a"), ("ca", "t</w>"), ("o", "f</w>")]
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    for s in ("<|startoftext|>", "<|endoftext|>"):
+        vocab[s] = len(vocab)
+
+    vj = tmp_path / "vocab.json"
+    mt = tmp_path / "merges.txt"
+    vj.write_text(json.dumps(vocab))
+    mt.write_text("#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges) + "\n")
+
+    ours = CLIPTokenizer.from_files(str(vj), str(mt))
+    theirs = HFTok(str(vj), str(mt))
+
+    for text in ("the cat", "The Photo of a cat!", "thecat of the", ""):
+        hf_ids = theirs(text, padding="max_length", max_length=77, truncation=True)["input_ids"]
+        np.testing.assert_array_equal(ours([text])[0], np.asarray(hf_ids, np.int32), err_msg=text)
+
+
+def test_clip_score_metric_shapes():
+    from diffsim_tpu.metrics.clip_i import CLIPScore
+
+    sc = CLIPScore(vision_cfg=clip_vision.CLIPVisionConfig.tiny(),
+                   text_cfg=clip_text.CLIPTextConfig.tiny())
+    rng = np.random.default_rng(0)
+    pa = rng.standard_normal((3, 32, 32, 3)).astype(np.float32)
+    pb = rng.standard_normal((3, 32, 32, 3)).astype(np.float32)
+    s = sc.clipi_score_batch(pa, pb)
+    assert s.shape == (3,)
+    assert np.all(np.abs(s) <= 100.0 + 1e-3)
+    s_self = sc.clipi_score_batch(pa, pa.copy())
+    np.testing.assert_allclose(s_self, 100.0, atol=0.01)
+    cross = sc.clip_cross_score_batch(pa, pb, [1])
+    assert cross.shape == (3,)
+    cross_self = sc.clip_cross_score_batch(pa, pa.copy(), [1])
+    np.testing.assert_allclose(cross_self, 1.0, atol=1e-5)
+    feats = sc.clip_feature_score_batch(pa, pb, [0])
+    assert feats.shape == (3,)
+
+
+def test_dino_score_metric_shapes():
+    from diffsim_tpu.metrics.dino import Dinov2Score
+
+    sc = Dinov2Score(cfg=dinov2.DinoConfig.tiny())
+    rng = np.random.default_rng(1)
+    pa = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    pb = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    assert sc.dino_score_batch(pa, pb).shape == (2,)
+    np.testing.assert_allclose(sc.dino_score_batch(pa, pa.copy()), 100.0, atol=0.01)
+    np.testing.assert_allclose(sc.dino_cross_score_batch(pa, pa.copy(), [1]), 1.0, atol=1e-5)
+    assert sc.dino_feature_score_batch(pa, pb, [0]).shape == (2,)
+
+
+def test_params_store_roundtrip(tmp_path):
+    import jax
+
+    from diffsim_tpu.convert import load_params, save_params
+
+    params = dinov2.init(jax.random.PRNGKey(0), dinov2.DinoConfig.tiny())
+    path = str(tmp_path / "p.npz")
+    save_params(path, params)
+    loaded = load_params(path)
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(loaded)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
