@@ -1,0 +1,141 @@
+"""DiffSim scorer, DiT-XL/2 backbone.
+
+Torch reference: /root/reference/diffsim/diffsim_dit.py. Per image the reference builds a
+batch-1 latent and a batch-2 class vector y=[1, 1000] (cond + null class) whose embeddings
+broadcast the whole transformer to batch 2 — the tapped Q/K/V carry both rows, exactly like
+the SD path's CFG halves. We materialize that as an explicit batch-2 duplication.
+
+Noising uses the SD-1.5 DDIM table at raw ``t = target_step``; the model timestep is the
+respaced ``timestep_map[1000 - target_step]`` (core.schedulers.dit_noise_spec). The reference's
+``p_sample`` call is gutted to a bare forward (/root/reference/DiT/diffusion/
+gaussian_diffusion.py:279-280,403-411) — implemented here honestly as noise + one forward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsim_tpu.core import prng, schedulers
+from diffsim_tpu.core.image import load_and_process
+from diffsim_tpu.metrics import readout
+from diffsim_tpu.metrics.scorer_base import ScorerBase
+from diffsim_tpu.models import dit, vae
+from diffsim_tpu.ops.taps import QKV, TapSpec
+
+
+class DiffSimDiT(ScorerBase):
+    def __init__(
+        self,
+        params=None,
+        *,
+        dit_cfg: dit.DiTConfig | None = None,
+        vae_cfg: vae.VAEConfig | None = None,
+        img_size: int = 512,
+        dtype=jnp.bfloat16,
+        mesh=None,
+        vae_mode: bool = False,
+        init_seed: int = 0,
+    ):
+        # DiT_models["DiT-XL/2"](input_size=img_size//8, in_channels=4, num_classes=1000)
+        # (/root/reference/diffsim/diffsim_dit.py:31-35); VAE is sd-vae-ft-mse (same arch as SD)
+        self.dit_cfg = dit_cfg or dit.DiTConfig.xl2(input_size=img_size // 8)
+        self.vae_cfg = vae_cfg or vae.VAEConfig.sd()
+        self.img_size = img_size
+        self.dtype = dtype
+        self.mesh = mesh
+        self.vae_mode = vae_mode
+        if params is None:
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                kd, kv = jax.random.split(jax.random.PRNGKey(init_seed))
+                params = {
+                    "dit": dit.init(kd, self.dit_cfg, dtype),
+                    "vae": vae.encoder_init(kv, self.vae_cfg, dtype),
+                }
+        self.params = self._place(params)
+
+    @functools.lru_cache(maxsize=16)
+    def _score_fn(self, tap: TapSpec, similarity: str):
+        cfg, vae_cfg = self.dit_cfg, self.vae_cfg
+        latent_c = vae_cfg.latent_channels
+        down = vae_cfg.downscale
+
+        def fn(params, pix, noise_sab, key):
+            model_t, a, b = noise_sab
+            P, two, H, W, _ = pix.shape
+            h = H // down
+            if pix.dtype == jnp.uint8:
+                pix = (pix.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
+            moments = vae.encoder_apply(params["vae"], pix.reshape(P * 2, H, W, 3))
+            moments = moments.reshape(P, 2, h, h, 2 * latent_c)
+            if self.vae_mode:
+                z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, mode=True)
+            else:
+                eps_vae = jnp.stack(
+                    [
+                        jax.random.normal(prng.role_key(key, prng.VAE_A), (h, h, latent_c)),
+                        jax.random.normal(prng.role_key(key, prng.VAE_B), (h, h, latent_c)),
+                    ]
+                )[None]
+                z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, noise=eps_vae)
+            eps_n = jnp.stack(
+                [
+                    jax.random.normal(prng.role_key(key, prng.NOISE_A), (h, h, latent_c)),
+                    jax.random.normal(prng.role_key(key, prng.NOISE_B), (h, h, latent_c)),
+                ]
+            )[None]
+            x = (a * z.astype(jnp.float32) + b * eps_n).astype(z.dtype)
+
+            # per image: duplicate to batch 2 with y = [cond class 1, null class 1000]
+            # (/root/reference/diffsim/diffsim_dit.py:95-98 via embedding broadcast)
+            x_in = x[:, jnp.array([0, 0, 1, 1])].reshape(P * 4, h, h, latent_c)
+            y = jnp.tile(jnp.asarray([1, cfg.num_classes]), (P * 2,))
+            t = jnp.broadcast_to(jnp.float32(model_t), (P * 4,))
+            _, taps = dit.apply(params["dit"], x_in, t, y, cfg, tap=tap)
+
+            q, k, v = (t_.reshape((P, 4) + t_.shape[1:]) for t_ in (taps["q"], taps["k"], taps["v"]))
+            return readout.cross_attention_score(
+                q[:, :2], k[:, :2], v[:, :2], q[:, 2:], k[:, 2:], v[:, 2:], similarity
+            )
+
+        return self._jit_pairs(fn, n_data=1)
+
+    def score_batch(
+        self,
+        pix_a: np.ndarray,
+        pix_b: np.ndarray,
+        *,
+        target_layer=0,
+        target_step: int = 600,
+        similarity: str = "cosine",
+        seed: int = 2333,
+        **_,
+    ) -> np.ndarray:
+        if isinstance(target_layer, (list, tuple)):
+            target_layer = target_layer[0]  # diffsim_dit.py:75 — unwraps correctly
+        tap = TapSpec("blocks", (int(target_layer),), "attn1", QKV)
+        spec = schedulers.dit_noise_spec(target_step)
+        pix, _, P, pad = self._pad_pairs(pix_a, pix_b, None)
+        fn = self._score_fn(tap, similarity)
+        scores = fn(
+            self.params,
+            jnp.asarray(pix),
+            (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
+            jax.random.PRNGKey(int(seed)),
+        )
+        out = np.asarray(jax.device_get(scores), np.float32)
+        return out[:P] if pad else out
+
+    def diffsim_score(self, image_a, image_b, img_size=None, prompt="", target_block=None,
+                      target_layer=(0,), target_step=600, similarity="cosine", seed=2333):
+        """Reference-shaped single-pair API (/root/reference/diffsim/diffsim_dit.py:74)."""
+        size = img_size or self.img_size
+        pa = load_and_process(image_a, size)
+        pb = load_and_process(image_b, size)
+        return float(
+            self.score_batch(pa, pb, target_layer=target_layer, target_step=target_step,
+                             similarity=similarity, seed=seed)[0]
+        )

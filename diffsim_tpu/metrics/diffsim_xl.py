@@ -1,0 +1,239 @@
+"""DiffSim scorer, SDXL backbone.
+
+Torch reference: /root/reference/diffsim/diffsim_xl.py + diffsim_xl_pipeline.py. Differences
+from the SD-1.5 path, all preserved:
+
+* dual text encoders; conditioning = concat of both towers' PENULTIMATE hidden states (2048)
+  plus tower-2's projected pooled embedding; empty negative prompt is force-zeroed
+  (SDXL base's ``force_zeros_for_empty_prompt``).
+* micro-conditioning ``add_time_ids`` built from the UNet-default 1024x1024 canvas — the
+  pipeline derives height/width from the UNet config, not the actual latents
+  (/root/reference/diffsim/diffsim_xl_pipeline.py:229-262), so they are static.
+* Euler "leading" noising with the ``init_noise_sigma`` latent amplification (quirk Q6,
+  core.schedulers.sdxl_noise_spec).
+* VAE encodes in fp32 then casts (/root/reference/diffsim/diffsim_xl.py:58-63).
+* 3-index tap addressing [block, attention, transformer] over down_blocks[1:] /
+  up_blocks[:-1] / mid (/root/reference/diffsim/diffsim_xl.py:85-107).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsim_tpu.core import prng, schedulers
+from diffsim_tpu.core.image import load_and_process
+from diffsim_tpu.core.tokenizer import HashTokenizer
+from diffsim_tpu.metrics import readout
+from diffsim_tpu.metrics.scorer_base import ScorerBase
+from diffsim_tpu.models import clip_text, unet, vae
+from diffsim_tpu.ops.taps import IP_QKV, QKV, TapSpec
+
+
+def sdxl_tap(target_block: str, target_layer, ip_adapter: bool = False) -> TapSpec:
+    """[block, attention, transformer] -> absolute TapSpec. down_blocks[1:][b] == absolute
+    b+1; up_blocks[:-1][b] == absolute b; mid takes [attention, transformer] only."""
+    tl = list(target_layer) if isinstance(target_layer, (list, tuple)) else [target_layer]
+    attn = "attn2" if ip_adapter else "attn1"
+    capture = IP_QKV if ip_adapter else QKV
+    if target_block == "mid_blocks":
+        a, t = (tl + [0, 0])[:2]
+        return TapSpec("mid", (0, int(a), int(t)), attn, capture)
+    if len(tl) != 3:
+        raise ValueError("SDXL down/up taps take 3 indices: block, attention, transformer")
+    b, a, t = (int(x) for x in tl)
+    if target_block == "down_blocks":
+        return TapSpec("down", (b + 1, a, t), attn, capture)
+    if target_block == "up_blocks":
+        return TapSpec("up", (b, a, t), attn, capture)
+    raise ValueError(f"unknown target_block: {target_block}")
+
+
+class DiffSimXL(ScorerBase):
+    def __init__(
+        self,
+        params=None,
+        *,
+        unet_cfg: unet.UNetConfig | None = None,
+        vae_cfg: vae.VAEConfig | None = None,
+        text_cfg: clip_text.CLIPTextConfig | None = None,
+        text2_cfg: clip_text.CLIPTextConfig | None = None,
+        img_size: int = 512,
+        dtype=jnp.bfloat16,
+        mesh=None,
+        tokenizer=None,
+        tokenizer2=None,
+        cfg_parity: bool = True,
+        vae_mode: bool = False,
+        init_seed: int = 0,
+    ):
+        self.unet_cfg = unet_cfg or unet.UNetConfig.sdxl()
+        self.vae_cfg = vae_cfg or vae.VAEConfig.sdxl()
+        self.text_cfg = text_cfg or clip_text.CLIPTextConfig.sd15()
+        self.text2_cfg = text2_cfg or clip_text.CLIPTextConfig.sdxl_big_g()
+        self.img_size = img_size
+        self.dtype = dtype
+        self.mesh = mesh
+        self.cfg_parity = cfg_parity
+        self.vae_mode = vae_mode
+        self.tokenizer = tokenizer or HashTokenizer(self.text_cfg.vocab_size)
+        # tokenizer_2 pads with token 0 ("!") rather than EOS
+        self.tokenizer2 = tokenizer2 or tokenizer or HashTokenizer(self.text2_cfg.vocab_size)
+        if params is None:
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                ku, kv, k1, k2 = jax.random.split(jax.random.PRNGKey(init_seed), 4)
+                params = {
+                    "unet": unet.init(ku, self.unet_cfg, dtype),
+                    "vae": vae.encoder_init(kv, self.vae_cfg, jnp.float32),  # fp32 VAE encode
+                    "text": clip_text.init(k1, self.text_cfg, dtype),
+                    "text2": clip_text.init(k2, self.text2_cfg, dtype),
+                }
+        self.params = self._place(params)
+        self._prompt_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def _encode(p, ids1, ids2):
+            out1 = clip_text.apply(p["text"], ids1, self.text_cfg, output_hidden_states=True)
+            out2 = clip_text.apply(p["text2"], ids2, self.text2_cfg, output_hidden_states=True)
+            embeds = jnp.concatenate(
+                [out1["hidden_states"][-2], out2["hidden_states"][-2]], axis=-1
+            )
+            return embeds, out2["text_embeds"]
+
+        self._encode_jit = jax.jit(_encode)
+
+    def encode_prompt(self, prompt: str) -> tuple[np.ndarray, np.ndarray]:
+        """((2, 77, 2048) embeds, (2, pooled_dim) pooled) for [uncond(zeros), cond]."""
+        if prompt not in self._prompt_cache:
+            ids1 = jnp.asarray(self.tokenizer([prompt]))
+            ids2 = jnp.asarray(self.tokenizer2([prompt]))
+            embeds, pooled = self._encode_jit(self.params, ids1, ids2)
+            embeds = np.asarray(jax.device_get(embeds.astype(self.dtype)))
+            pooled = np.asarray(jax.device_get(pooled.astype(self.dtype)))
+            # force_zeros_for_empty_prompt: the uncond half is all-zeros
+            embeds = np.concatenate([np.zeros_like(embeds), embeds], axis=0)
+            pooled = np.concatenate([np.zeros_like(pooled), pooled], axis=0)
+            self._prompt_cache[prompt] = (embeds, pooled)
+        return self._prompt_cache[prompt]
+
+    @staticmethod
+    def default_time_ids() -> np.ndarray:
+        """(1024, 1024, 0, 0, 1024, 1024): original size, crop, target size — from the UNet
+        default canvas, independent of --image_size (pipeline quirk, see module docstring)."""
+        return np.asarray([1024.0, 1024.0, 0.0, 0.0, 1024.0, 1024.0], np.float32)
+
+    @functools.lru_cache(maxsize=16)
+    def _score_fn(self, tap: TapSpec, similarity: str):
+        unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
+        cfg_parity = self.cfg_parity
+        latent_c = vae_cfg.latent_channels
+        down = vae_cfg.downscale
+
+        def fn(params, pix, embeds, pooled, noise_sab, key):
+            model_t, a, b = noise_sab
+            P, two, H, W, _ = pix.shape
+            h = H // down
+            if pix.dtype == jnp.uint8:
+                pix = pix.astype(jnp.float32) / 127.5 - 1.0
+            # fp32 VAE encode, cast latents down (diffsim_xl.py:58-63)
+            moments = vae.encoder_apply(params["vae"], pix.astype(jnp.float32).reshape(P * 2, H, W, 3))
+            moments = moments.reshape(P, 2, h, h, 2 * latent_c)
+            if self.vae_mode:
+                z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, mode=True)
+            else:
+                eps_vae = jnp.stack(
+                    [
+                        jax.random.normal(prng.role_key(key, prng.VAE_A), (h, h, latent_c)),
+                        jax.random.normal(prng.role_key(key, prng.VAE_B), (h, h, latent_c)),
+                    ]
+                )[None]
+                z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, noise=eps_vae)
+            z = z.astype(self.dtype)
+            eps_n = jnp.stack(
+                [
+                    jax.random.normal(prng.role_key(key, prng.NOISE_A), (h, h, latent_c)),
+                    jax.random.normal(prng.role_key(key, prng.NOISE_B), (h, h, latent_c)),
+                ]
+            )[None]
+            x = (a * z.astype(jnp.float32) + b * eps_n).astype(self.dtype)
+
+            seq, hid = embeds.shape[-2:]
+            time_ids = jnp.asarray(self.default_time_ids())
+            if cfg_parity:
+                x_in = x[:, jnp.array([0, 0, 1, 1])].reshape(P * 4, h, h, latent_c)
+                ctx = embeds[:, jnp.array([0, 1, 0, 1])].reshape(P * 4, seq, hid)
+                pool = pooled[:, jnp.array([0, 1, 0, 1])].reshape(P * 4, -1)
+                n_in = P * 4
+                per_img = 2
+            else:
+                x_in = x.reshape(P * 2, h, h, latent_c)
+                ctx = embeds[:, jnp.array([1, 1])].reshape(P * 2, seq, hid)
+                pool = pooled[:, jnp.array([1, 1])].reshape(P * 2, -1)
+                n_in = P * 2
+                per_img = 1
+
+            added = {
+                "text_embeds": pool.astype(self.dtype),
+                "time_ids": jnp.tile(time_ids[None], (n_in, 1)),
+            }
+            _, taps = unet.apply(
+                params["unet"], x_in, jnp.float32(model_t), ctx, unet_cfg,
+                tap=tap, added_cond=added,
+            )
+            q, k, v = taps["q"], taps["k"], taps["v"]
+            nb = 2 * per_img
+            q = q.reshape((P, nb) + q.shape[1:])
+            k = k.reshape((P, nb) + k.shape[1:])
+            v = v.reshape((P, nb) + v.shape[1:])
+            return readout.cross_attention_score(
+                q[:, :per_img], k[:, :per_img], v[:, :per_img],
+                q[:, per_img:], k[:, per_img:], v[:, per_img:], similarity,
+            )
+
+        return self._jit_pairs(fn, n_data=3)
+
+    def score_batch(
+        self,
+        pix_a: np.ndarray,
+        pix_b: np.ndarray,
+        *,
+        prompt="",
+        target_block: str = "up_blocks",
+        target_layer=(0, 0, 0),
+        target_step: int = 900,
+        similarity: str = "cosine",
+        seed: int = 2333,
+        ip_adapter: bool = False,
+    ) -> np.ndarray:
+        tap = sdxl_tap(target_block, target_layer, ip_adapter)
+        spec = schedulers.sdxl_noise_spec(target_step)
+        prompts = [prompt] * pix_a.shape[0] if isinstance(prompt, str) else list(prompt)
+        pix, prompts, P, pad = self._pad_pairs(pix_a, pix_b, prompts)
+        enc = [self.encode_prompt(p) for p in prompts]
+        embeds = np.stack([e for e, _ in enc])
+        pooled = np.stack([p for _, p in enc])
+        fn = self._score_fn(tap, similarity)
+        scores = fn(
+            self.params,
+            jnp.asarray(pix),
+            embeds,
+            pooled,
+            (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
+            jax.random.PRNGKey(int(seed)),
+        )
+        out = np.asarray(jax.device_get(scores), np.float32)
+        return out[:P] if pad else out
+
+    def diffsim_score(self, image_a, image_b, img_size=None, prompt="", target_block="up_blocks",
+                      target_layer=(0, 0, 0), target_step=900, similarity="cosine", seed=2333):
+        """Reference-shaped single-pair API (/root/reference/diffsim/diffsim_xl.py:65)."""
+        size = img_size or self.img_size
+        pa = load_and_process(image_a, size)
+        pb = load_and_process(image_b, size)
+        return float(
+            self.score_batch(pa, pb, prompt=prompt, target_block=target_block,
+                             target_layer=target_layer, target_step=target_step,
+                             similarity=similarity, seed=seed)[0]
+        )

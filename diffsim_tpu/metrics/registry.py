@@ -85,10 +85,22 @@ def build_metric(args, mesh=None) -> MetricAdapter:
     if name == "dit":
         from diffsim_tpu.metrics.diffsim_dit import DiffSimDiT
 
+        kw = {}
+        if tiny:
+            import numpy as _np
+
+            from diffsim_tpu.models import dit as _dit, vae as _vae
+
+            kw = dict(
+                dit_cfg=_dit.DiTConfig.tiny(input_size=args.image_size // 2, num_classes=1000),
+                vae_cfg=_vae.VAEConfig.tiny(),
+                dtype=_np.float32,
+            )
         scorer = DiffSimDiT(
             params=_load_params(getattr(args, "weights", None)),
             img_size=args.image_size,
             mesh=mesh,
+            **kw,
         )
 
         def score_pairs(pa, pb, prompts):
@@ -104,11 +116,28 @@ def build_metric(args, mesh=None) -> MetricAdapter:
     if name == "diffsim_xl":
         from diffsim_tpu.metrics.diffsim_xl import DiffSimXL
 
+        kw = {}
+        if tiny:
+            import numpy as _np
+
+            from diffsim_tpu.models import clip_text as _ct, unet as _unet, vae as _vae
+
+            kw = dict(
+                unet_cfg=_unet.UNetConfig.tiny_xl(cross_attention_dim=64),
+                vae_cfg=_vae.VAEConfig.tiny(),
+                text_cfg=_ct.CLIPTextConfig.tiny(),
+                text2_cfg=_ct.CLIPTextConfig(
+                    vocab_size=1000, hidden=32, layers=2, heads=2, intermediate=64,
+                    projection_dim=16,
+                ),
+                dtype=_np.float32,
+            )
         scorer = DiffSimXL(
             params=_load_params(getattr(args, "weights", None)),
             img_size=args.image_size,
             mesh=mesh,
             cfg_parity=getattr(args, "cfg_parity", True),
+            **kw,
         )
 
         def score_pairs(pa, pb, prompts):

@@ -70,7 +70,8 @@ class DiTConfig:
 
     @staticmethod
     def tiny(input_size: int = 8, **kw) -> "DiTConfig":
-        return DiTConfig(input_size=input_size, patch_size=2, hidden=32, depth=2, heads=2, num_classes=10, **kw)
+        kw.setdefault("num_classes", 10)
+        return DiTConfig(input_size=input_size, patch_size=2, hidden=32, depth=2, heads=2, **kw)
 
 
 # DiT model zoo name -> constructor, mirroring DiT_models (/root/reference/DiT/modelsdit.py:332-374)

@@ -145,3 +145,60 @@ def test_cli_nights_tiny_end_to_end(data, tmp_path):
         ],
     )
     assert rep.total == 4
+
+
+def test_cli_tid_dit_tiny(data, tmp_path):
+    from diffsim_tpu.cli.main import run_benchmark
+
+    rep = run_benchmark(
+        "tid",
+        [
+            "--image_path", data["tid"], "--image_size", "32", "--metric", "dit",
+            "--target_layer", "1", "--target_step", "750", "--similarity", "cosine",
+            "--model_scale", "tiny", "--batch_size", "4",
+        ],
+    )
+    assert rep.total == 6
+
+
+def test_cli_style_xl_tiny(data, tmp_path):
+    from diffsim_tpu.cli.main import run_benchmark
+
+    rep = run_benchmark(
+        "style",
+        [
+            "--image_path", data["style"], "--image_size", "32", "--metric", "diffsim_xl",
+            "--target_layer", "0", "0", "1", "--target_step", "900", "--similarity", "cosine",
+            "--model_scale", "tiny", "--batch_size", "8",
+        ],
+    )
+    assert rep.total == 2000
+
+
+def test_cli_dreambench_tiny(data, tmp_path):
+    from diffsim_tpu.cli.main import run_benchmark
+
+    rep = run_benchmark(
+        "dreambench",
+        [
+            "--image_path", data["dreambench"], "--image_size", "32", "--metric", "diffsim",
+            "--target_layer", "0", "--target_step", "600", "--similarity", "cosine",
+            "--model_scale", "tiny", "--batch_size", "4",
+        ],
+    )
+    assert rep.total == 6
+
+
+def test_cli_ipref_tiny(data, tmp_path):
+    from diffsim_tpu.cli.main import run_benchmark
+
+    rep = run_benchmark(
+        "ipref",
+        [
+            "--image_path", data["ipref"], "--original_path", data["ipref_orig"],
+            "--image_size", "32", "--metric", "diffsim", "--target_layer", "5",
+            "--target_step", "750", "--similarity", "cosine",
+            "--model_scale", "tiny", "--batch_size", "4",
+        ],
+    )
+    assert rep.total == 10
