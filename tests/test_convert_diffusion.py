@@ -1,0 +1,255 @@
+"""Structural validation of the diffusion-stack converters: a synthetic checkpoint in the
+published key layout must convert to exactly the tree our ``init`` builds (same structure,
+same leaf shapes), with every checkpoint key consumed."""
+
+import jax
+import numpy as np
+import pytest
+
+from diffsim_tpu.convert import diffusion_import as DI
+from diffsim_tpu.models import dit, unet, vae
+
+
+def _rand(shape):
+    return np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+
+
+def _synth_from_tree(tree, prefix, out, kind):
+    """Create torch-layout tensors for our tree leaves (inverse of the converter layout)."""
+    raise NotImplementedError
+
+
+def synth_unet_sd(cfg: unet.UNetConfig) -> dict:
+    """Build a diffusers-named state dict for ``cfg`` with correct torch shapes."""
+    sd = {}
+
+    def lin(name, din, dout, bias=True):
+        sd[f"{name}.weight"] = _rand((dout, din))
+        if bias:
+            sd[f"{name}.bias"] = _rand((dout,))
+
+    def conv(name, cin, cout, k=3):
+        sd[f"{name}.weight"] = _rand((cout, cin, k, k))
+        sd[f"{name}.bias"] = _rand((cout,))
+
+    def norm(name, c):
+        sd[f"{name}.weight"] = _rand((c,))
+        sd[f"{name}.bias"] = _rand((c,))
+
+    def resnet(base, cin, cout, ted):
+        norm(f"{base}.norm1", cin)
+        conv(f"{base}.conv1", cin, cout)
+        lin(f"{base}.time_emb_proj", ted, cout)
+        norm(f"{base}.norm2", cout)
+        conv(f"{base}.conv2", cout, cout)
+        if cin != cout:
+            conv(f"{base}.conv_shortcut", cin, cout, k=1)
+
+    def transformer(base, c, depth, cdim):
+        norm(f"{base}.norm", c)
+        if cfg.linear_proj:
+            lin(f"{base}.proj_in", c, c)
+            lin(f"{base}.proj_out", c, c)
+        else:
+            conv(f"{base}.proj_in", c, c, k=1)
+            conv(f"{base}.proj_out", c, c, k=1)
+        for k in range(depth):
+            tb = f"{base}.transformer_blocks.{k}"
+            for nm in ("norm1", "norm2", "norm3"):
+                norm(f"{tb}.{nm}", c)
+            for attn, kdim in (("attn1", c), ("attn2", cdim)):
+                lin(f"{tb}.{attn}.to_q", c, c, bias=False)
+                lin(f"{tb}.{attn}.to_k", kdim, c, bias=False)
+                lin(f"{tb}.{attn}.to_v", kdim, c, bias=False)
+                lin(f"{tb}.{attn}.to_out.0", c, c)
+            lin(f"{tb}.ff.net.0.proj", c, c * 8)
+            lin(f"{tb}.ff.net.2", c * 4, c)
+
+    chans = cfg.block_out_channels
+    ted = cfg.time_embed_dim
+    conv("conv_in", cfg.in_channels, chans[0])
+    lin("time_embedding.linear_1", chans[0], ted)
+    lin("time_embedding.linear_2", ted, ted)
+    if cfg.addition_embed == "text_time":
+        lin("add_embedding.linear_1", cfg.projection_class_embeddings_input_dim, ted)
+        lin("add_embedding.linear_2", ted, ted)
+
+    skips = [chans[0]]
+    cin = chans[0]
+    for i, cout in enumerate(chans):
+        for j in range(cfg.layers_per_block):
+            resnet(f"down_blocks.{i}.resnets.{j}", cin if j == 0 else cout, cout, ted)
+            if cfg.cross_attn_blocks[i]:
+                transformer(f"down_blocks.{i}.attentions.{j}", cout,
+                            cfg.transformer_depth[i], cfg.cross_attention_dim)
+            skips.append(cout)
+        if i < len(chans) - 1:
+            conv(f"down_blocks.{i}.downsamplers.0.conv", cout, cout)
+            skips.append(cout)
+        cin = cout
+
+    resnet("mid_block.resnets.0", chans[-1], chans[-1], ted)
+    transformer("mid_block.attentions.0", chans[-1], cfg.mid_transformer_depth, cfg.cross_attention_dim)
+    resnet("mid_block.resnets.1", chans[-1], chans[-1], ted)
+
+    rev = list(reversed(chans))
+    cin = rev[0]
+    for i, cout in enumerate(rev):
+        di = len(chans) - 1 - i
+        for j in range(cfg.layers_per_block + 1):
+            skip = skips.pop()
+            resnet(f"up_blocks.{i}.resnets.{j}", (cin if j == 0 else cout) + skip, cout, ted)
+            if cfg.cross_attn_blocks[di]:
+                transformer(f"up_blocks.{i}.attentions.{j}", cout,
+                            cfg.transformer_depth[di], cfg.cross_attention_dim)
+        if i < len(rev) - 1:
+            conv(f"up_blocks.{i}.upsamplers.0.conv", cout, cout)
+        cin = cout
+
+    norm("conv_norm_out", chans[0])
+    conv("conv_out", chans[0], cfg.out_channels)
+    return sd
+
+
+def _tree_shapes(tree):
+    return jax.tree_util.tree_map(lambda x: np.shape(x), tree)
+
+
+@pytest.mark.parametrize("cfg_name", ["tiny", "tiny_xl"])
+def test_unet_converter_structural(cfg_name):
+    cfg = unet.UNetConfig.tiny(64) if cfg_name == "tiny" else unet.UNetConfig.tiny_xl(64)
+    sd = synth_unet_sd(cfg)
+    converted = DI.convert_sd_unet(sd, cfg, strict=True)
+    reference = unet.init(jax.random.PRNGKey(0), cfg)
+    assert _tree_shapes(converted) == _tree_shapes(reference)
+    # and the converted model runs
+    import jax.numpy as jnp
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, cfg.in_channels))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, cfg.cross_attention_dim))
+    added = None
+    if cfg.addition_embed == "text_time":
+        added = {"text_embeds": jnp.zeros((1, 16)), "time_ids": jnp.zeros((1, 6))}
+    out, _ = unet.apply(converted, x, jnp.float32(10.0), ctx, cfg, added_cond=added)
+    assert out.shape == x.shape
+
+
+def synth_vae_sd(cfg: vae.VAEConfig) -> dict:
+    sd = {}
+
+    def conv(name, cin, cout, k=3):
+        sd[f"{name}.weight"] = _rand((cout, cin, k, k))
+        sd[f"{name}.bias"] = _rand((cout,))
+
+    def lin(name, din, dout):
+        sd[f"{name}.weight"] = _rand((dout, din))
+        sd[f"{name}.bias"] = _rand((dout,))
+
+    def norm(name, c):
+        sd[f"{name}.weight"] = _rand((c,))
+        sd[f"{name}.bias"] = _rand((c,))
+
+    def resnet(base, cin, cout):
+        norm(f"{base}.norm1", cin)
+        conv(f"{base}.conv1", cin, cout)
+        norm(f"{base}.norm2", cout)
+        conv(f"{base}.conv2", cout, cout)
+        if cin != cout:
+            conv(f"{base}.conv_shortcut", cin, cout, k=1)
+
+    def mid(base, c):
+        resnet(f"{base}.resnets.0", c, c)
+        norm(f"{base}.attentions.0.group_norm", c)
+        for nm in ("to_q", "to_k", "to_v", "to_out.0"):
+            lin(f"{base}.attentions.0.{nm}", c, c)
+        resnet(f"{base}.resnets.1", c, c)
+
+    chans = cfg.block_out_channels
+    conv("encoder.conv_in", cfg.in_channels, chans[0])
+    cin = chans[0]
+    for i, cout in enumerate(chans):
+        for j in range(cfg.layers_per_block):
+            resnet(f"encoder.down_blocks.{i}.resnets.{j}", cin if j == 0 else cout, cout)
+        if i < len(chans) - 1:
+            conv(f"encoder.down_blocks.{i}.downsamplers.0.conv", cout, cout)
+        cin = cout
+    mid("encoder.mid_block", chans[-1])
+    norm("encoder.conv_norm_out", chans[-1])
+    conv("encoder.conv_out", chans[-1], 2 * cfg.latent_channels)
+    conv("quant_conv", 2 * cfg.latent_channels, 2 * cfg.latent_channels, k=1)
+
+    conv("post_quant_conv", cfg.latent_channels, cfg.latent_channels, k=1)
+    rev = list(reversed(chans))
+    conv("decoder.conv_in", cfg.latent_channels, rev[0])
+    mid("decoder.mid_block", rev[0])
+    cin = rev[0]
+    for i, cout in enumerate(rev):
+        for j in range(cfg.layers_per_block + 1):
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}", cin if j == 0 else cout, cout)
+        if i < len(rev) - 1:
+            conv(f"decoder.up_blocks.{i}.upsamplers.0.conv", cout, cout)
+        cin = cout
+    norm("decoder.conv_norm_out", rev[-1])
+    conv("decoder.conv_out", rev[-1], cfg.in_channels)
+    return sd
+
+
+def test_vae_converter_structural():
+    cfg = vae.VAEConfig.tiny()
+    sd = synth_vae_sd(cfg)
+    enc, dec = DI.convert_vae(sd, cfg, strict=True)
+    assert _tree_shapes(enc) == _tree_shapes(vae.encoder_init(jax.random.PRNGKey(0), cfg))
+    assert _tree_shapes(dec) == _tree_shapes(vae.decoder_init(jax.random.PRNGKey(0), cfg))
+
+
+def synth_dit_sd(cfg: dit.DiTConfig) -> dict:
+    h = cfg.hidden
+    sd = {
+        "x_embedder.proj.weight": _rand((h, cfg.in_channels, cfg.patch_size, cfg.patch_size)),
+        "x_embedder.proj.bias": _rand((h,)),
+        "pos_embed": _rand((1, cfg.tokens_per_side**2, h)),
+        "t_embedder.mlp.0.weight": _rand((h, 256)),
+        "t_embedder.mlp.0.bias": _rand((h,)),
+        "t_embedder.mlp.2.weight": _rand((h, h)),
+        "t_embedder.mlp.2.bias": _rand((h,)),
+        "y_embedder.embedding_table.weight": _rand((cfg.num_classes + 1, h)),
+        "final_layer.adaLN_modulation.1.weight": _rand((2 * h, h)),
+        "final_layer.adaLN_modulation.1.bias": _rand((2 * h,)),
+        "final_layer.linear.weight": _rand((cfg.patch_size**2 * cfg.out_channels, h)),
+        "final_layer.linear.bias": _rand((cfg.patch_size**2 * cfg.out_channels,)),
+    }
+    mlp_h = int(h * cfg.mlp_ratio)
+    for i in range(cfg.depth):
+        sd[f"blocks.{i}.attn.qkv.weight"] = _rand((3 * h, h))
+        sd[f"blocks.{i}.attn.qkv.bias"] = _rand((3 * h,))
+        sd[f"blocks.{i}.attn.proj.weight"] = _rand((h, h))
+        sd[f"blocks.{i}.attn.proj.bias"] = _rand((h,))
+        sd[f"blocks.{i}.mlp.fc1.weight"] = _rand((mlp_h, h))
+        sd[f"blocks.{i}.mlp.fc1.bias"] = _rand((mlp_h,))
+        sd[f"blocks.{i}.mlp.fc2.weight"] = _rand((h, mlp_h))
+        sd[f"blocks.{i}.mlp.fc2.bias"] = _rand((h,))
+        sd[f"blocks.{i}.adaLN_modulation.1.weight"] = _rand((6 * h, h))
+        sd[f"blocks.{i}.adaLN_modulation.1.bias"] = _rand((6 * h,))
+    return sd
+
+
+def test_dit_converter_structural():
+    cfg = dit.DiTConfig.tiny()
+    sd = synth_dit_sd(cfg)
+    converted = DI.convert_dit(sd, cfg, strict=True)
+    reference = dit.init(jax.random.PRNGKey(0), cfg)
+    assert _tree_shapes(converted) == _tree_shapes(reference)
+    import jax.numpy as jnp
+
+    out, _ = dit.apply(converted, jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4)),
+                       jnp.asarray([5.0]), jnp.asarray([1]), cfg)
+    assert out.shape == (1, 8, 8, cfg.out_channels)
+
+
+def test_unet_converter_strict_rejects_leftovers():
+    cfg = unet.UNetConfig.tiny(64)
+    sd = synth_unet_sd(cfg)
+    sd["some.unknown.weight"] = _rand((3, 3))
+    with pytest.raises(ValueError, match="unconsumed"):
+        DI.convert_sd_unet(sd, cfg, strict=True)
+    DI.convert_sd_unet(sd, cfg, strict=False)  # tolerant mode passes
