@@ -30,6 +30,8 @@ def arg_parse(argv=None):
     # --- framework extensions ---
     parser.add_argument("--batch_size", type=int, default=16, help="Comparisons per device batch")
     parser.add_argument("--weights", type=str, default=None, help="Converted checkpoint (.npz) path")
+    parser.add_argument("--ip_weights", type=str, default=None,
+                        help="Converted IP-Adapter .npz (cli.convert output of convert_ip_adapter)")
     parser.add_argument("--tokenizer_dir", type=str, default=None, help="Dir with vocab.json + merges.txt")
     parser.add_argument("--results", type=str, default=None, help="JSONL results path (enables resume)")
     parser.add_argument("--no_cfg_parity", dest="cfg_parity", action="store_false",

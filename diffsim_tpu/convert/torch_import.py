@@ -231,3 +231,76 @@ def convert_lpips(sd: dict, vgg_cfg) -> dict:
     if net_keys:
         out["vgg"] = convert_vgg_features(net_keys, vgg_cfg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# IP-Adapter (published ip-adapter(-plus) checkpoints: image_proj.* + ip_adapter.*)
+# ---------------------------------------------------------------------------
+
+
+def convert_ip_adapter(sd: dict, unet_cfg) -> dict:
+    """Returns {'image_proj': tree, 'ip_weights': [site][adapter] {'to_k_ip','to_v_ip'},
+    'plus': bool}. Accepts the flat safetensors layout ('image_proj.latents', 'ip_adapter.
+    1.to_k_ip.weight') or a pre-split {'image_proj': {...}, 'ip_adapter': {...}} torch dict.
+    The numbered ip_adapter keys follow the published attn-processor traversal (cross-attn
+    processors are the odd indices 1,3,5,...)."""
+    if "image_proj" in sd and isinstance(sd["image_proj"], dict):
+        proj_sd = {k: np.asarray(v) for k, v in sd["image_proj"].items()}
+        ip_sd = {k: np.asarray(v) for k, v in sd["ip_adapter"].items()}
+    else:
+        proj_sd = {k[len("image_proj."):]: v for k, v in sd.items() if k.startswith("image_proj.")}
+        ip_sd = {k[len("ip_adapter."):]: v for k, v in sd.items() if k.startswith("ip_adapter.")}
+
+    plus = "latents" in proj_sd
+    if plus:
+        depth = 0
+        while f"layers.{depth}.0.to_q.weight" in proj_sd:
+            depth += 1
+        image_proj = {
+            "latents": proj_sd["latents"].reshape(proj_sd["latents"].shape[-2:]),
+            "proj_in": _lin(proj_sd, "proj_in"),
+            "proj_out": _lin(proj_sd, "proj_out"),
+            "norm_out": _norm(proj_sd, "norm_out"),
+            "layers": [
+                {
+                    "norm1": _norm(proj_sd, f"layers.{i}.0.norm1"),
+                    "norm2": _norm(proj_sd, f"layers.{i}.0.norm2"),
+                    "to_q": _lin(proj_sd, f"layers.{i}.0.to_q"),
+                    "to_kv": _lin(proj_sd, f"layers.{i}.0.to_kv"),
+                    "to_out": _lin(proj_sd, f"layers.{i}.0.to_out"),
+                    "ff_norm": _norm(proj_sd, f"layers.{i}.1.0"),
+                    "ff1": _lin(proj_sd, f"layers.{i}.1.1"),
+                    "ff2": _lin(proj_sd, f"layers.{i}.1.3"),
+                }
+                for i in range(depth)
+            ],
+        }
+    else:
+        image_proj = {
+            "proj": _lin(proj_sd, "proj"),
+            "norm": _norm(proj_sd, "norm"),
+            "num_tokens": np.asarray(
+                proj_sd["proj.weight"].shape[0] // _infer_cross_dim(ip_sd)
+            ),
+        }
+
+    from diffsim_tpu.models.ip_adapter import attn2_site_order
+
+    sites = attn2_site_order(unet_cfg)
+    ip_weights = []
+    for s_i in range(len(sites)):
+        key = 2 * s_i + 1
+        ip_weights.append(
+            [
+                {
+                    "to_k_ip": {"w": ip_sd[f"{key}.to_k_ip.weight"].T},
+                    "to_v_ip": {"w": ip_sd[f"{key}.to_v_ip.weight"].T},
+                }
+            ]
+        )
+    return {"image_proj": image_proj, "ip_weights": ip_weights, "plus": plus}
+
+
+def _infer_cross_dim(ip_sd: dict) -> int:
+    first = next(k for k in ip_sd if k.endswith("to_k_ip.weight"))
+    return ip_sd[first].shape[1]

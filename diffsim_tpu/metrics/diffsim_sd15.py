@@ -107,6 +107,7 @@ class DiffSimSD15:
                     "text": clip_text.init(kt, self.text_cfg, dtype),
                 }
         self.params = self._place(params)
+        self._ip = None  # set by enable_ip_adapter
         self._prompt_cache: dict[str, jax.Array] = {}
         self._encode_jit = jax.jit(
             lambda p, ids: clip_text.apply(p, ids, self.text_cfg)["last_hidden_state"]
@@ -135,13 +136,13 @@ class DiffSimSD15:
     # ------------------------------------------------------------------
 
     @functools.lru_cache(maxsize=32)
-    def _score_fn(self, tap: TapSpec, similarity: str):
+    def _score_fn(self, tap: TapSpec, similarity: str, ip_enabled: bool = False):
         unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
         cfg_parity = self.cfg_parity
         latent_c = vae_cfg.latent_channels
         down = vae_cfg.downscale
 
-        def fn(params, pix, embeds, noise_sab, key):
+        def fn(params, pix, embeds, ip_uncond, noise_sab, key):
             # pix (P,2,H,W,3); embeds (P,2,77,hidden) [neg,pos] per pair; noise_sab = (model_t, a, b)
             model_t, a, b = noise_sab
             P, two, H, W, _ = pix.shape
@@ -185,10 +186,36 @@ class DiffSimSD15:
                 ctx = embeds[:, jnp.array([1, 1])].reshape(P * 2, seq, hid)
                 per_img = 1
 
+            ip_embeds = ip_scale = None
+            if ip_enabled:
+                # IP-Adapter image embeds from the scored images themselves (the reference
+                # passes ip_A = A, /root/reference/diffsim/diffsim.py:115-117); the uncond
+                # half uses the zero-image embedding, as diffusers' encode_image does
+                cond = self._ip_embed(params, pix.reshape(P * 2, H, W, 3))
+                t_tok, d_tok = cond.shape[-2:]
+                cond = cond.reshape(P, 2, t_tok, d_tok)
+                if cfg_parity:
+                    u = jnp.broadcast_to(ip_uncond, cond.shape)
+                    inter = jnp.stack([u, cond], axis=2)  # (P, img, [uncond|cond], T, D)
+                    ip_embeds = [inter.reshape(P * 4, t_tok, d_tok).astype(self.dtype)]
+                else:
+                    ip_embeds = [cond.reshape(P * 2, t_tok, d_tok).astype(self.dtype)]
+                ip_scale = [self._ip["scale"]]
+
             _, taps = unet.apply(
-                params["unet"], x_in, jnp.float32(model_t), ctx, unet_cfg, tap=tap
+                params["unet"], x_in, jnp.float32(model_t), ctx, unet_cfg, tap=tap,
+                ip_embeds=ip_embeds, ip_scale=ip_scale,
             )
             nb = 2 * per_img
+            if tap.capture == IP_QKV:
+                q = taps["q"].reshape((P, nb) + taps["q"].shape[1:])
+                ip_k = [t_.reshape((P, nb) + t_.shape[1:]) for t_ in taps["ip_k"]]
+                ip_v = [t_.reshape((P, nb) + t_.shape[1:]) for t_ in taps["ip_v"]]
+                return readout.cross_attention_score_ip(
+                    q[:, :per_img], [t_[:, :per_img] for t_ in ip_k], [t_[:, :per_img] for t_ in ip_v],
+                    q[:, per_img:], [t_[:, per_img:] for t_ in ip_k], [t_[:, per_img:] for t_ in ip_v],
+                    similarity,
+                )
             if tap.capture == OUTPUT:
                 # diffeats readout: attn1 output features, per-image min-max normalize,
                 # cosine (/root/reference/metrics/diffeats.py:136-205)
@@ -211,11 +238,98 @@ class DiffSimSD15:
             rs = meshlib.replicated(self.mesh)
             return jax.jit(
                 fn,
-                in_shardings=(rs, ds, ds, rs, rs),
+                in_shardings=(rs, ds, ds, rs, rs, rs),
                 out_shardings=ds,
                 donate_argnums=(1,),
             )
         return jax.jit(fn, donate_argnums=(1,))
+
+    def _ip_embed(self, params, pix):
+        """[-1,1] pixels at the scoring resolution -> adapter tokens. The reference feeds the
+        original PIL image through CLIPImageProcessor; we resize the lanczos-512 pixels on
+        device (bilinear, documented divergence)."""
+        from diffsim_tpu.core.image import CLIP_MEAN, CLIP_STD
+        from diffsim_tpu.models import clip_vision, ip_adapter as ipm
+
+        ip = self._ip
+        size = ip["encoder_cfg"].image_size
+        x = jax.image.resize(pix.astype(jnp.float32), pix.shape[:1] + (size, size, 3), "bilinear")
+        x = ((x + 1.0) / 2.0 - CLIP_MEAN) / CLIP_STD
+        out = clip_vision.apply(params["ip_encoder"], x.astype(self.dtype), ip["encoder_cfg"],
+                                output_hidden_states=ip["plus"])
+        if ip["plus"]:
+            return ipm.resampler_apply(params["ip_proj"], out["hidden_states"][-2], ip["resampler_cfg"])
+        return ipm.image_projection_apply(params["ip_proj"], out["image_embeds"])
+
+    def enable_ip_adapter(
+        self,
+        converted=None,
+        *,
+        scale: float = 0.5,
+        encoder_params=None,
+        encoder_cfg=None,
+        resampler_cfg=None,
+        plus: bool = True,
+        init_seed: int = 1,
+    ):
+        """Attach IP-Adapter projections to every attn2 (the reference's load_ip_adapter +
+        set_ip_adapter_scale(0.5), /root/reference/diffsim/diffsim.py:86-89). ``converted`` is
+        convert_ip_adapter()'s output; None => random weights (tests/throughput)."""
+        from diffsim_tpu.models import clip_vision, ip_adapter as ipm
+
+        encoder_cfg = encoder_cfg or clip_vision.CLIPVisionConfig.h14()
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            key = jax.random.PRNGKey(init_seed)
+            if encoder_params is None:
+                encoder_params = clip_vision.init(key, encoder_cfg, self.dtype)
+            if converted is not None:
+                plus = converted["plus"]
+                ip_weights = converted["ip_weights"]
+                proj = converted["image_proj"]
+                if plus and resampler_cfg is None:
+                    lat = np.asarray(proj["latents"])
+                    resampler_cfg = ipm.ResamplerConfig(
+                        dim=lat.shape[-1], depth=len(proj["layers"]),
+                        dim_head=64, heads=np.asarray(proj["layers"][0]["to_q"]["w"]).shape[1] // 64,
+                        num_queries=lat.shape[-2],
+                        embedding_dim=np.asarray(proj["proj_in"]["w"]).shape[0],
+                        output_dim=np.asarray(proj["proj_out"]["w"]).shape[1],
+                    )
+            else:
+                resampler_cfg = resampler_cfg or ipm.ResamplerConfig.sd15_plus()
+                if plus:
+                    proj = ipm.resampler_init(jax.random.fold_in(key, 1), resampler_cfg, self.dtype)
+                else:
+                    proj = ipm.image_projection_init(
+                        jax.random.fold_in(key, 1), encoder_cfg.projection_dim,
+                        self.unet_cfg.cross_attention_dim, dtype=self.dtype,
+                    )
+                ip_weights = ipm.random_ip_weights(
+                    jax.random.fold_in(key, 2), self.unet_cfg, dtype=self.dtype
+                )
+        params = jax.device_get(self.params)
+        ipm.insert_ip_into_unet(params["unet"], self.unet_cfg, ip_weights)
+        params["ip_proj"] = proj
+        params["ip_encoder"] = encoder_params
+        self._ip = {"scale": scale, "plus": plus, "encoder_cfg": encoder_cfg,
+                    "resampler_cfg": resampler_cfg}
+        self.params = self._place(params)
+        self._score_fn.cache_clear()
+        # uncond ip embedding: zeros in NORMALIZED space (diffusers encode_image zeroes the
+        # preprocessed pixel_values, not the raw image); computed once
+        from diffsim_tpu.models import clip_vision as _cv, ip_adapter as _ipm
+
+        size = encoder_cfg.image_size
+
+        def _uncond(params):
+            zero = jnp.zeros((1, size, size, 3), self.dtype)
+            out = _cv.apply(params["ip_encoder"], zero, encoder_cfg, output_hidden_states=plus)
+            if plus:
+                return _ipm.resampler_apply(params["ip_proj"], out["hidden_states"][-2],
+                                            self._ip["resampler_cfg"])
+            return _ipm.image_projection_apply(params["ip_proj"], out["image_embeds"])
+
+        self._ip_uncond = np.asarray(jax.device_get(jax.jit(_uncond)(self.params)))
 
     # ------------------------------------------------------------------
     # public API
@@ -253,11 +367,16 @@ class DiffSimSD15:
                 prompts = prompts + [prompts[-1]] * pad
         embeds = np.stack([self.encode_prompt(p) for p in prompts])
         key = jax.random.PRNGKey(int(seed))
-        fn = self._score_fn(tap, similarity)
+        if ip_adapter and self._ip is None:
+            self.enable_ip_adapter()
+        ip_enabled = bool(ip_adapter and self._ip is not None)
+        fn = self._score_fn(tap, similarity, ip_enabled)
+        ip_uncond = jnp.asarray(self._ip_uncond) if ip_enabled else jnp.zeros((1, 1, 1), self.dtype)
         scores = fn(
             self.params,
             jnp.asarray(pix),
             embeds,
+            ip_uncond,
             (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
             key,
         )
@@ -302,6 +421,7 @@ class DiffSimSD15:
             self.params,
             jnp.asarray(pix),
             embeds,
+            jnp.zeros((1, 1, 1), self.dtype),
             (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
             key,
         )

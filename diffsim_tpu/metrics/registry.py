@@ -60,6 +60,20 @@ def build_metric(args, mesh=None) -> MetricAdapter:
             tokenizer=_load_tokenizer(getattr(args, "tokenizer_dir", None)),
             **kw,
         )
+        if args.ip_adapter:
+            ip_kw = {}
+            if tiny:
+                from diffsim_tpu.models import clip_vision as _cv, ip_adapter as _ipm
+
+                ip_kw = dict(encoder_cfg=_cv.CLIPVisionConfig.tiny(),
+                             resampler_cfg=_ipm.ResamplerConfig.tiny())
+            ip_weights = getattr(args, "ip_weights", None)
+            converted = None
+            if ip_weights:
+                from diffsim_tpu.convert import load_params as _lp
+
+                converted = _lp(ip_weights)
+            scorer.enable_ip_adapter(converted, scale=0.5, **ip_kw)
 
         from diffsim_tpu.core.image import process_image_u8
 

@@ -47,6 +47,12 @@ class CLIPVisionConfig:
         return CLIPVisionConfig()
 
     @staticmethod
+    def h14() -> "CLIPVisionConfig":
+        """CLIP ViT-H/14 — the IP-Adapter(-plus) image encoder."""
+        return CLIPVisionConfig(hidden=1280, layers=32, heads=16, intermediate=5120,
+                                patch=14, image_size=224, projection_dim=1024)
+
+    @staticmethod
     def tiny() -> "CLIPVisionConfig":
         return CLIPVisionConfig(hidden=32, layers=2, heads=2, intermediate=64, patch=8,
                                 image_size=32, projection_dim=16)
@@ -92,7 +98,8 @@ def _patchify(x, patch):
     return x.reshape(b, gh * gw, patch * patch * c)
 
 
-def apply(p, pixels, cfg: CLIPVisionConfig, *, tap_layer: int | None = None, capture: str = "qkv"):
+def apply(p, pixels, cfg: CLIPVisionConfig, *, tap_layer: int | None = None, capture: str = "qkv",
+          output_hidden_states: bool = False):
     """pixels (B, S, S, 3) CLIP-normalized -> dict with image_embeds (projected CLS), pooled,
     last_hidden_state, and taps.
 
@@ -105,6 +112,7 @@ def apply(p, pixels, cfg: CLIPVisionConfig, *, tap_layer: int | None = None, cap
     x = layer_norm(p["pre_norm"], x, eps=cfg.eps)
 
     taps = {}
+    hidden_states = [x]
     for i, lp in enumerate(p["layers"]):
         if tap_layer is not None and tap_layer % cfg.layers == i and capture == "qkv":
             # reference hook: projections applied to the layer INPUT, skipping norm1
@@ -121,14 +129,18 @@ def apply(p, pixels, cfg: CLIPVisionConfig, *, tap_layer: int | None = None, cap
         x = x + linear(lp["fc2"], quick_gelu(linear(lp["fc1"], layer_norm(lp["norm2"], x, eps=cfg.eps))))
         if tap_layer is not None and tap_layer % cfg.layers == i and capture == "output":
             taps = {"out": x}
+        hidden_states.append(x)
 
     pooled = layer_norm(p["post_norm"], x[:, 0:1], eps=cfg.eps)[:, 0]
-    return {
+    out = {
         "last_hidden_state": x,
         "pooled": pooled,
         "image_embeds": linear(p["visual_projection"], pooled),
         "taps": taps,
     }
+    if output_hidden_states:
+        out["hidden_states"] = hidden_states
+    return out
 
 
 def out_proj_replay(p, context, cfg: CLIPVisionConfig, tap_layer: int):

@@ -1,0 +1,188 @@
+"""DiT training, TPU-native.
+
+The reference trains with torch DDP over NCCL: per-rank DataLoader, DDP gradient buckets,
+rank-0 checkpointing behind barriers (/root/reference/DiT/train.py:110-250). The SPMD
+equivalent: one jitted train step with the batch sharded over the mesh 'data' axis and params
+replicated — XLA emits the gradient all-reduces over ICI; there are no barriers and no ranks.
+EMA is a pure pytree lerp inside the same step. Checkpoints go through orbax (async-safe,
+resumable), storing {params, ema, opt_state, step}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diffsim_tpu.models import dit, diffusion as gd, vae
+from diffsim_tpu.parallel import mesh as meshlib
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    image_size: int = 256
+    model: str = "DiT-XL/2"
+    lr: float = 1e-4  # the published DiT recipe: AdamW, constant 1e-4, no weight decay
+    weight_decay: float = 0.0
+    ema_decay: float = 0.9999
+    global_batch: int = 256
+    seed: int = 0
+    vae_scaling: float = 0.18215
+
+
+class DiTTrainer:
+    def __init__(self, cfg: TrainConfig, mesh=None, dit_cfg=None, vae_params=None,
+                 vae_cfg=None, dtype=jnp.float32):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.dit_cfg = dit_cfg or dit.MODELS[cfg.model](
+            input_size=cfg.image_size // 8, learn_sigma=True
+        )
+        self.vae_cfg = vae_cfg or vae.VAEConfig.sd()
+        self.diffusion = gd.create_diffusion(None, learn_sigma=self.dit_cfg.learn_sigma)
+        self.optimizer = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            key = jax.random.PRNGKey(cfg.seed)
+            params = dit.init(key, self.dit_cfg, dtype)
+            if vae_params is None:
+                vae_params = vae.encoder_init(jax.random.fold_in(key, 1), self.vae_cfg, dtype)
+        state = {
+            "params": params,
+            "ema": jax.tree_util.tree_map(jnp.copy, params),
+            "opt": self.optimizer.init(params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        if mesh is not None:
+            repl = meshlib.replicated(mesh)
+            state = jax.device_put(state, repl)
+            vae_params = jax.device_put(vae_params, repl)
+        self.state = state
+        self.vae_params = vae_params
+        self._step_fn = self._build_step()
+
+    def _build_step(self):
+        diffusion = self.diffusion
+        dit_cfg = self.dit_cfg
+        ema_decay = self.cfg.ema_decay
+        scaling = self.cfg.vae_scaling
+        vae_cfg = self.vae_cfg
+        optimizer = self.optimizer
+
+        def loss_fn(params, latents, labels, t, noise, dropout_key):
+            def model_fn(x, model_t):
+                out, _ = dit.apply(
+                    params, x, model_t, labels, dit_cfg, train=True, dropout_key=dropout_key
+                )
+                return out
+
+            losses = diffusion.training_losses(model_fn, latents, t, noise)
+            return jnp.mean(losses["loss"]), losses
+
+        def step(state, vae_params, pixels, labels, key):
+            # pixels (B, H, W, 3) in [-1,1] or uint8; encode with the frozen VAE in-graph
+            if pixels.dtype == jnp.uint8:
+                pixels = pixels.astype(jnp.float32) / 127.5 - 1.0
+            k_vae, k_t, k_noise, k_drop = jax.random.split(
+                jax.random.fold_in(key, state["step"]), 4
+            )
+            moments = vae.encoder_apply(vae_params, pixels)
+            latents = vae.sample_latents(moments, k_vae, scaling)
+            b = latents.shape[0]
+            t = jax.random.randint(k_t, (b,), 0, diffusion.num_steps)
+            noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+            (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"], latents, labels, t, noise, k_drop
+            )
+            updates, opt = optimizer.update(grads, state["opt"], state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1 - ema_decay), state["ema"], params
+            )
+            new_state = {"params": params, "ema": ema, "opt": opt, "step": state["step"] + 1}
+            return new_state, {"loss": loss, "mse": jnp.mean(losses["mse"])}
+
+        if self.mesh is not None:
+            ds = meshlib.data_sharding(self.mesh)
+            rs = meshlib.replicated(self.mesh)
+            return jax.jit(
+                step,
+                in_shardings=(rs, rs, ds, ds, rs),
+                out_shardings=(rs, rs),
+                donate_argnums=(0,),
+            )
+        return jax.jit(step, donate_argnums=(0,))
+
+    def train_step(self, pixels: np.ndarray, labels: np.ndarray, key) -> dict:
+        self.state, metrics = self._step_fn(self.state, self.vae_params, pixels, labels, key)
+        return metrics
+
+    # ------------------------------------------------------------------
+
+    def _place_tree(self, tree):
+        return jax.device_put(
+            tree, meshlib.replicated(self.mesh) if self.mesh else jax.devices()[0]
+        )
+
+    def save(self, ckpt_dir: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(ckpt_dir, jax.device_get(self.state), force=True)
+
+    def restore(self, ckpt_dir: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        # restore into the live state's structure so optax NamedTuple states keep their types
+        template = jax.device_get(self.state)
+        restored = ckptr.restore(ckpt_dir, item=template)
+        self.state = jax.device_put(
+            restored, meshlib.replicated(self.mesh) if self.mesh else jax.devices()[0]
+        )
+
+    # ------------------------------------------------------------------
+
+    def sample(self, labels: np.ndarray, key, cfg_scale: float | None = None,
+               num_steps: int = 250, use_ema: bool = True, vae_decoder=None,
+               ddim: bool = False) -> np.ndarray:
+        """Class-conditional sampling (the reference's sample.py flow,
+        /root/reference/DiT/sample.py:21-68). Returns latents, or images if a decoder tree is
+        given."""
+        params = self.state["ema"] if use_ema else self.state["params"]
+        dit_cfg = self.dit_cfg
+        diffusion = gd.create_diffusion(str(num_steps), learn_sigma=dit_cfg.learn_sigma)
+        n = len(labels)
+        size = dit_cfg.input_size
+        shape = (n, size, size, dit_cfg.in_channels)
+        labels = jnp.asarray(labels)
+
+        if cfg_scale is not None:
+            y = jnp.concatenate([labels, jnp.full_like(labels, dit_cfg.num_classes)])
+
+            def model_fn(x, model_t):
+                xx = jnp.concatenate([x, x])
+                t = jnp.concatenate([jnp.broadcast_to(model_t, (n,))] * 2)
+                out, _ = dit.apply(params, xx, t, y, dit_cfg)
+                eps, rest = out[..., :3], out[..., 3:]
+                cond, uncond = jnp.split(eps, 2)
+                guided = uncond + cfg_scale * (cond - uncond)
+                return jnp.concatenate([guided, rest[:n]], axis=-1)
+        else:
+
+            def model_fn(x, model_t):
+                t = jnp.broadcast_to(model_t, (n,))
+                out, _ = dit.apply(params, x, t, labels, dit_cfg)
+                return out
+
+        loop = diffusion.ddim_sample_loop if ddim else diffusion.p_sample_loop
+        latents = jax.jit(lambda k: loop(model_fn, shape, k))(key)
+        if vae_decoder is not None:
+            images = vae.decoder_apply(vae_decoder, latents / self.cfg.vae_scaling, self.vae_cfg)
+            return np.asarray(jax.device_get(images))
+        return np.asarray(jax.device_get(latents))
