@@ -21,7 +21,7 @@ import numpy as np
 
 BASELINE_PAIRS_PER_SEC = 2.2
 IMG = 512
-BATCH = 16
+BATCH = 32
 WARMUP = 2
 ITERS = 8
 
@@ -52,9 +52,11 @@ def main():
     )
     for _ in range(WARMUP):
         scorer.score_batch(pix_a, pix_b, **kwargs)
+    # async dispatch: queue every batch, then block — uploads pipeline with device compute
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        scorer.score_batch(pix_a, pix_b, **kwargs)
+    fetches = [scorer.score_batch(pix_a, pix_b, blocking=False, **kwargs) for _ in range(ITERS)]
+    for f in fetches:
+        f()
     dt = time.perf_counter() - t0
 
     pairs_per_sec = ITERS * batch / dt

@@ -39,4 +39,7 @@ def arg_parse(argv=None):
     parser.add_argument("--num_devices", type=int, default=None, help="Limit mesh size")
     parser.add_argument("--model_scale", type=str, choices=["full", "tiny"], default="full",
                         help="'tiny' uses toy model configs (CPU smoke tests / CI)")
+    parser.add_argument("--profile", action="store_true", help="Print a per-stage time breakdown")
+    parser.add_argument("--profile_trace", type=str, default=None,
+                        help="Directory for a jax.profiler XLA trace of the run")
     return parser.parse_args(argv)

@@ -62,16 +62,27 @@ def run_benchmark(benchmark: str, argv=None) -> runner.Report:
     adapter = build_metric(args, mesh)
     loader = ImageLoader(args.image_size, preprocess=adapter.preprocess)
     lower = adapter.lower_better or args.metric == "lpips"
-    return runner.run_2afc(
-        comparisons,
-        adapter.score_pairs,
-        rule=rule,
-        lower_better=lower,
-        img_size=args.image_size,
-        batch=args.batch_size,
-        out_path=args.results,
-        loader=loader,
-    )
+
+    from diffsim_tpu.runtime.profiling import StageTimer, trace
+    import contextlib
+
+    timer = StageTimer() if args.profile else None
+    ctx = trace(args.profile_trace) if args.profile_trace else contextlib.nullcontext()
+    with ctx:
+        report = runner.run_2afc(
+            comparisons,
+            adapter.score_pairs,
+            rule=rule,
+            lower_better=lower,
+            img_size=args.image_size,
+            batch=args.batch_size,
+            out_path=args.results,
+            loader=loader,
+            timer=timer,
+        )
+    if timer is not None:
+        timer.report()
+    return report
 
 
 def _clone_args(args, **overrides):

@@ -69,7 +69,7 @@ class DiffSimDiT(ScorerBase):
             h = H // down
             if pix.dtype == jnp.uint8:
                 pix = (pix.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
-            moments = vae.encoder_apply(params["vae"], pix.reshape(P * 2, H, W, 3))
+            moments = vae.encoder_apply_chunked(params["vae"], pix.reshape(P * 2, H, W, 3))
             moments = moments.reshape(P, 2, h, h, 2 * latent_c)
             if self.vae_mode:
                 z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, mode=True)

@@ -152,7 +152,7 @@ class DiffSimSD15:
                 # transport-optimized path: pixels travel as uint8 (4x less relay traffic),
                 # the [-1, 1] mapping is fused into the graph
                 pix = (pix.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
-            moments = vae.encoder_apply(params["vae"], pix.reshape(P * 2, H, W, 3))
+            moments = vae.encoder_apply_chunked(params["vae"], pix.reshape(P * 2, H, W, 3))
             moments = moments.reshape(P, 2, h, w, 2 * latent_c)
             # reference draw order per pair: vae_A, vae_B, noise_A, noise_B — one seeded
             # stream reused for every pair (the generator is reseeded per call)
@@ -348,9 +348,14 @@ class DiffSimSD15:
         seed: int = 2333,
         ip_adapter: bool = False,
         fix_layer_collapse: bool = False,
-    ) -> np.ndarray:
+        blocking: bool = True,
+    ):
         """Score P pairs. pix_a/pix_b: (P, H, W, 3) float32 in [-1, 1] (see core.image).
-        ``prompt`` is one string for all pairs or a list of P per-pair strings."""
+        ``prompt`` is one string for all pairs or a list of P per-pair strings.
+
+        ``blocking=False`` returns a zero-arg callable that fetches the (P,) scores — the
+        dispatch is asynchronous, so callers can overlap the next batch's host work (decode,
+        upload) with this batch's device compute."""
         tap = sd15_tap(target_block, target_layer, ip_adapter, fix_layer_collapse)
         spec = schedulers.sd15_noise_spec(target_step)
         P = pix_a.shape[0]
@@ -380,8 +385,12 @@ class DiffSimSD15:
             (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
             key,
         )
-        out = np.asarray(jax.device_get(scores), np.float32)
-        return out[:P] if pad else out
+
+        def fetch():
+            out = np.asarray(jax.device_get(scores), np.float32)
+            return out[:P] if pad else out
+
+        return fetch() if blocking else fetch
 
     def score_feats_batch(
         self,

@@ -138,7 +138,7 @@ class DiffSimXL(ScorerBase):
             if pix.dtype == jnp.uint8:
                 pix = pix.astype(jnp.float32) / 127.5 - 1.0
             # fp32 VAE encode, cast latents down (diffsim_xl.py:58-63)
-            moments = vae.encoder_apply(params["vae"], pix.astype(jnp.float32).reshape(P * 2, H, W, 3))
+            moments = vae.encoder_apply_chunked(params["vae"], pix.astype(jnp.float32).reshape(P * 2, H, W, 3))
             moments = moments.reshape(P, 2, h, h, 2 * latent_c)
             if self.vae_mode:
                 z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, mode=True)

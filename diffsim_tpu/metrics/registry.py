@@ -80,11 +80,12 @@ def build_metric(args, mesh=None) -> MetricAdapter:
         u8 = lambda img: process_image_u8(img, args.image_size)
 
         if name == "diffsim":
-            def score_pairs(pa, pb, prompts):
+            def score_pairs(pa, pb, prompts, blocking=True):
                 return scorer.score_batch(
                     pa, pb, prompt=prompts, target_block=args.target_block,
                     target_layer=args.target_layer, target_step=args.target_step,
                     similarity=similarity, seed=args.seed, ip_adapter=args.ip_adapter,
+                    blocking=blocking,
                 )
         else:
             def score_pairs(pa, pb, prompts):

@@ -158,6 +158,18 @@ def sample_latents(moments, key, scaling_factor, noise=None, mode=False):
     return (mean.astype(jnp.float32) + std * eps).astype(mean.dtype) * scaling_factor
 
 
+def encoder_apply_chunked(p, x, chunk: int = 16):
+    """Encode in ``chunk``-image slices via lax.map: full-resolution VAE activations are the
+    largest live buffers in the scoring graph (batch x 512^2 x 128ch), and slicing keeps both
+    the compiler and HBM within budget at large pair batches."""
+    n = x.shape[0]
+    if n <= chunk or n % chunk:
+        return encoder_apply(p, x)
+    xs = x.reshape(n // chunk, chunk, *x.shape[1:])
+    out = jax.lax.map(lambda xi: encoder_apply(p, xi), xs)
+    return out.reshape(n, *out.shape[2:])
+
+
 def encode_and_sample(p, x, key, cfg: VAEConfig):
     return sample_latents(encoder_apply(p, x), key, cfg.scaling_factor)
 

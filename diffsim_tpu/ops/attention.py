@@ -22,10 +22,22 @@ def sdpa(
     """Attention over (..., heads, seq, head_dim) tensors; returns same-shape output.
 
     Default scale 1/sqrt(head_dim), matching torch F.scaled_dot_product_attention.
+    Long self-attention sites (>=1024 tokens) on TPU route through the Pallas fused kernel
+    (ops/pallas/attention.py), which keeps the score tile in VMEM instead of materializing
+    (S, S) logits in HBM.
     """
     head_dim = q.shape[-1]
     if scale is None:
         scale = head_dim**-0.5
+    if (
+        q.ndim == 4
+        and scale == head_dim**-0.5
+        and jax.devices()[0].platform != "cpu"
+    ):
+        from diffsim_tpu.ops.pallas.attention import fused_self_attention, use_fused
+
+        if use_fused(q.shape, k.shape):
+            return fused_self_attention(q, k, v)
     logits = jnp.einsum(
         "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
     )

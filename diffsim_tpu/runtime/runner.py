@@ -72,6 +72,7 @@ def run_2afc(
     log_every: int = 450,
     loader: ImageLoader | None = None,
     print_fn=print,
+    timer=None,
 ) -> Report:
     """Score all comparisons and report accuracy.
 
@@ -101,19 +102,42 @@ def run_2afc(
         inflight.append((chunks[ci], decode(chunks[ci])))
         ci += 1
 
+    from diffsim_tpu.runtime.profiling import StageTimer
+
+    timer = timer or StageTimer()
+    pending_fetch = None  # (chunk, fetch) — one scored batch kept in flight
+
+    def drain():
+        nonlocal pending_fetch
+        if pending_fetch is None:
+            return
+        chunk_, fetch_ = pending_fetch
+        pending_fetch = None
+        with timer.stage("fetch"):
+            scores = fetch_() if callable(fetch_) else fetch_
+        n_ = len(chunk_)
+        with timer.stage("log"):
+            for j, i in enumerate(chunk_):
+                log.record(i, s_ab=float(scores[j]), s_ac=float(scores[n_ + j]))
+
     while inflight:
         chunk, futs = inflight.pop(0)
-        arrs = [(fa.result(), fb.result(), fc.result()) for fa, fb, fc in futs]
+        with timer.stage("decode"):
+            arrs = [(fa.result(), fb.result(), fc.result()) for fa, fb, fc in futs]
         if ci < len(chunks):
             inflight.append((chunks[ci], decode(chunks[ci])))
             ci += 1
         pix_a = np.concatenate([a for a, _, _ in arrs] * 2, axis=0)
         pix_bc = np.concatenate([b for _, b, _ in arrs] + [c for _, _, c in arrs], axis=0)
         prompts = [comparisons[i].prompt for i in chunk] * 2
-        scores = score_pairs(pix_a, pix_bc, prompts)
-        n = len(chunk)
-        for j, i in enumerate(chunk):
-            log.record(i, s_ab=float(scores[j]), s_ac=float(scores[n + j]))
+        with timer.stage("dispatch"):
+            try:
+                result = score_pairs(pix_a, pix_bc, prompts, blocking=False)
+            except TypeError:
+                result = score_pairs(pix_a, pix_bc, prompts)
+        drain()
+        pending_fetch = (chunk, result)
+    drain()
 
     for i in range(len(comparisons)):
         rec = log.done.get(i)
