@@ -169,7 +169,12 @@ def build_metric(args, mesh=None) -> MetricAdapter:
     if name in ("clip_i", "clip_cross", "clipfeats"):
         from diffsim_tpu.metrics.clip_i import CLIPScore
 
-        scorer = CLIPScore(params=_load_params(getattr(args, "weights", None)), mesh=mesh)
+        kw = {}
+        if tiny:
+            from diffsim_tpu.models import clip_text as _ct, clip_vision as _cv
+
+            kw = dict(vision_cfg=_cv.CLIPVisionConfig.tiny(), text_cfg=_ct.CLIPTextConfig.tiny())
+        scorer = CLIPScore(params=_load_params(getattr(args, "weights", None)), mesh=mesh, **kw)
         if name == "clip_i":
             fn = lambda pa, pb, prompts: scorer.clipi_score_batch(pa, pb)
             return MetricAdapter(fn, False, preprocess=scorer.preprocess)
@@ -182,8 +187,13 @@ def build_metric(args, mesh=None) -> MetricAdapter:
     if name in ("dino", "dino_cross", "dinofeats", "dinov1"):
         from diffsim_tpu.metrics.dino import DinoScore, Dinov2Score
 
+        kw = {}
+        if tiny:
+            from diffsim_tpu.models import dinov2 as _d2
+
+            kw = dict(cfg=_d2.DinoConfig.tiny())
         scorer = (DinoScore if name == "dinov1" else Dinov2Score)(
-            params=_load_params(getattr(args, "weights", None)), mesh=mesh
+            params=_load_params(getattr(args, "weights", None)), mesh=mesh, **kw
         )
         if name in ("dino", "dinov1"):
             fn = lambda pa, pb, prompts: scorer.dino_score_batch(pa, pb)

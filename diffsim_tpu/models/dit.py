@@ -74,12 +74,21 @@ class DiTConfig:
         return DiTConfig(input_size=input_size, patch_size=2, hidden=32, depth=2, heads=2, **kw)
 
 
+def _zoo(hidden, depth, heads, patch):
+    def make(input_size: int = 32, **kw) -> DiTConfig:
+        return DiTConfig(input_size=input_size, patch_size=patch, hidden=hidden,
+                         depth=depth, heads=heads, **kw)
+
+    return make
+
+
 # DiT model zoo name -> constructor, mirroring DiT_models (/root/reference/DiT/modelsdit.py:332-374)
 MODELS = {
-    "DiT-XL/2": DiTConfig.xl2,
-    "DiT-L/2": DiTConfig.l2,
-    "DiT-B/2": DiTConfig.b2,
-    "DiT-S/2": DiTConfig.s2,
+    f"DiT-{name}/{patch}": _zoo(hidden, depth, heads, patch)
+    for (name, hidden, depth, heads) in [
+        ("XL", 1152, 28, 16), ("L", 1024, 24, 16), ("B", 768, 12, 12), ("S", 384, 12, 6)
+    ]
+    for patch in (2, 4, 8)
 }
 
 

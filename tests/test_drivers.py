@@ -202,3 +202,21 @@ def test_cli_ipref_tiny(data, tmp_path):
         ],
     )
     assert rep.total == 10
+
+
+def test_cli_cute_ensemble_tiny(data, tmp_path):
+    """2-of-3 majority vote over diffsim + clip_i + dino (/root/reference/cute_main.py:189-194).
+    clip/dino run at full architecture scale on CPU (fast enough at tiny image counts)."""
+    from diffsim_tpu.cli.main import run_benchmark
+
+    rep = run_benchmark(
+        "cute",
+        [
+            "--image_path", data["cute"], "--image_size", "32", "--metric", "ensemble",
+            "--target_layer", "0", "--target_step", "600", "--similarity", "cosine",
+            "--model_scale", "tiny", "--batch_size", "8",
+            "--results", str(tmp_path / "ens.jsonl"),
+        ],
+    )
+    assert rep.total == 40
+    assert 0 <= rep.correct <= rep.total
