@@ -44,10 +44,18 @@ def load_and_process(path, img_size: int = 512) -> np.ndarray:
 def process_image_u8(image: Image.Image, img_size: int = 512) -> np.ndarray:
     """Transport-optimized variant: RGB lanczos resize, (1, H, W, 3) uint8. The [-1, 1]
     mapping happens in-graph (``u8/127.5 - 1`` is bit-identical in f32 to the host float
-    pipeline) — pixel uploads to the device are 4x smaller than float32."""
+    pipeline) — pixel uploads to the device are 4x smaller than float32.
+
+    The resize runs through the native C++ resampler when available (bit-exact with PIL's
+    8bpc lanczos — tests/test_native_preprocess.py — but GIL-free, so decode threads scale
+    across cores); PIL otherwise."""
     image = image.convert("RGB")
-    image = image.resize((img_size, img_size), resample=Image.LANCZOS)
-    return np.asarray(image, dtype=np.uint8)[None]
+    from diffsim_tpu import native
+
+    out = native.resize_lanczos_u8(np.asarray(image, np.uint8), img_size, img_size)
+    if out is None:
+        out = np.asarray(image.resize((img_size, img_size), resample=Image.LANCZOS), np.uint8)
+    return out[None]
 
 
 def clip_preprocess_u8(image: Image.Image, size: int = 224) -> np.ndarray:
