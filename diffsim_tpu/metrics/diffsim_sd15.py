@@ -136,13 +136,14 @@ class DiffSimSD15:
     # ------------------------------------------------------------------
 
     @functools.lru_cache(maxsize=32)
-    def _score_fn(self, tap: TapSpec, similarity: str, ip_enabled: bool = False):
+    def _score_fn(self, tap: TapSpec, similarity: str, ip_enabled: bool = False,
+                  use_mask: bool = False):
         unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
         cfg_parity = self.cfg_parity
         latent_c = vae_cfg.latent_channels
         down = vae_cfg.downscale
 
-        def fn(params, pix, embeds, ip_uncond, noise_sab, key):
+        def fn(params, pix, embeds, ip_uncond, masks, noise_sab, key):
             # pix (P,2,H,W,3); embeds (P,2,77,hidden) [neg,pos] per pair; noise_sab = (model_t, a, b)
             model_t, a, b = noise_sab
             P, two, H, W, _ = pix.shape
@@ -231,6 +232,14 @@ class DiffSimSD15:
             qa, qb = q[:, :per_img], q[:, per_img:]
             ka, kb = k[:, :per_img], k[:, per_img:]
             va, vb = v[:, :per_img], v[:, per_img:]
+            if use_mask:
+                # mask-weighted queries (the reference's SAM use_mask capability with
+                # precomputed masks, metrics/diffeats.py:75-87): taps at self-attention
+                # sites have one token per latent cell
+                side = int(round(q.shape[-2] ** 0.5))
+                w_lat = readout.mask_to_latent(masks, side)  # (P, 2, S)
+                qa = qa * w_lat[:, 0, None, None, :, None].astype(qa.dtype)
+                qb = qb * w_lat[:, 1, None, None, :, None].astype(qb.dtype)
             return readout.cross_attention_score(qa, ka, va, qb, kb, vb, similarity)
 
         if self.mesh is not None:
@@ -238,7 +247,7 @@ class DiffSimSD15:
             rs = meshlib.replicated(self.mesh)
             return jax.jit(
                 fn,
-                in_shardings=(rs, ds, ds, rs, rs, rs),
+                in_shardings=(rs, ds, ds, rs, rs, rs, rs),
                 out_shardings=ds,
                 donate_argnums=(1,),
             )
@@ -349,6 +358,8 @@ class DiffSimSD15:
         ip_adapter: bool = False,
         fix_layer_collapse: bool = False,
         blocking: bool = True,
+        mask_a: np.ndarray | None = None,
+        mask_b: np.ndarray | None = None,
     ):
         """Score P pairs. pix_a/pix_b: (P, H, W, 3) float32 in [-1, 1] (see core.image).
         ``prompt`` is one string for all pairs or a list of P per-pair strings.
@@ -375,13 +386,21 @@ class DiffSimSD15:
         if ip_adapter and self._ip is None:
             self.enable_ip_adapter()
         ip_enabled = bool(ip_adapter and self._ip is not None)
-        fn = self._score_fn(tap, similarity, ip_enabled)
+        use_mask = mask_a is not None
+        if use_mask:
+            masks = np.stack([mask_a, mask_b], axis=1).astype(np.float32)
+            if pad:
+                masks = np.concatenate([masks, np.repeat(masks[-1:], pad, 0)], axis=0)
+        else:
+            masks = np.zeros((1, 2, 1, 1), np.float32)
+        fn = self._score_fn(tap, similarity, ip_enabled, use_mask)
         ip_uncond = jnp.asarray(self._ip_uncond) if ip_enabled else jnp.zeros((1, 1, 1), self.dtype)
         scores = fn(
             self.params,
             jnp.asarray(pix),
             embeds,
             ip_uncond,
+            jnp.asarray(masks),
             (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
             key,
         )
@@ -431,6 +450,7 @@ class DiffSimSD15:
             jnp.asarray(pix),
             embeds,
             jnp.zeros((1, 1, 1), self.dtype),
+            jnp.zeros((1, 2, 1, 1), np.float32),
             (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
             key,
         )

@@ -65,6 +65,24 @@ def cross_attention_score_ip(qa, ip_ka, ip_va, qb, ip_kb, ip_vb, similarity: str
     return jnp.mean(stacked, axis=0) if similarity == "cosine" else jnp.sum(stacked, axis=0)
 
 
+def mask_to_latent(mask: jnp.ndarray, latent_side: int) -> jnp.ndarray:
+    """Pixel-space foreground mask -> per-token query weights, the reference's ``mask_query``
+    pipeline (/root/reference/metrics/diffeats.py:75-87): 5x5 max-pool dilation then bilinear
+    resize to the latent grid. mask: (..., H, W) float in [0,1]; returns (..., latent_side^2).
+
+    The reference generates masks with SAM (a torch-only dependency); here they are supplied
+    precomputed — same downstream math."""
+    import jax
+
+    lead = mask.shape[:-2]
+    m = mask.reshape((-1,) + mask.shape[-2:] + (1,)).astype(jnp.float32)
+    m = jax.lax.reduce_window(
+        m, -jnp.inf, jax.lax.max, (1, 5, 5, 1), (1, 1, 1, 1), "SAME"
+    )
+    m = jax.image.resize(m, (m.shape[0], latent_side, latent_side, 1), "bilinear")
+    return m.reshape(lead + (latent_side * latent_side,))
+
+
 def feature_score(fa, fb, similarity: str = "cosine", minmax_normalize: bool = False):
     """diffeats-style readout on raw attention outputs: optional per-tensor min-max normalize
     then cosine/MSE (/root/reference/metrics/diffeats.py:136-205)."""

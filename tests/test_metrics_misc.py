@@ -158,3 +158,16 @@ def test_diffeats_scorer():
     s0 = sc.score_feats_batch(pa, pb, target_block="down_blocks", target_layer=[0], target_step=600)
     s_up = sc.score_feats_batch(pa, pb, target_block="up_blocks", target_layer=[0], target_step=600)
     assert not np.allclose(s0, s_up)
+
+
+def test_attention_heatmap(tmp_path):
+    from diffsim_tpu.runtime.viz import attention_heatmap
+
+    tap = np.random.default_rng(0).standard_normal((2, 4, 64, 8)).astype(np.float32)
+    out = str(tmp_path / "heat.png")
+    heat = attention_heatmap(tap, out)
+    assert heat.shape == (8, 8)
+    assert abs(heat.sum() - 1.0) < 1e-5
+    import os
+
+    assert os.path.exists(out)

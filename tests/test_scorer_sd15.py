@@ -172,3 +172,32 @@ def test_tap_values_shapes(scorer, tmp_path):
     q, k, v = scorer.tap_values(str(path), target_step=600)
     assert q.shape[0] == 2  # CFG-doubled batch, reference stores layout
     assert q.shape == k.shape == v.shape
+
+
+def test_masked_query_scoring(scorer):
+    """mask_query capability: precomputed foreground masks weight the tapped queries
+    (/root/reference/metrics/diffeats.py:75-87, the SAM use_mask path with masks supplied)."""
+    a, b = _pix(20, 2), _pix(21, 2)
+    mask = np.zeros((2, 32, 32), np.float32)
+    mask[:, 8:24, 8:24] = 1.0
+    s_masked = scorer.score_batch(a, b, target_step=600, mask_a=mask, mask_b=mask)
+    s_plain = scorer.score_batch(a, b, target_step=600)
+    assert s_masked.shape == (2,)
+    assert not np.allclose(s_masked, s_plain)
+    # all-ones mask stays in [0,1]-weight land but dilation keeps it exactly 1 -> identical
+    ones = np.ones((2, 32, 32), np.float32)
+    s_ones = scorer.score_batch(a, b, target_step=600, mask_a=ones, mask_b=ones)
+    np.testing.assert_allclose(s_ones, s_plain, atol=2e-5)
+
+
+def test_mask_to_latent_shapes():
+    import jax.numpy as jnp
+
+    from diffsim_tpu.metrics.readout import mask_to_latent
+
+    m = np.zeros((3, 2, 64, 64), np.float32)
+    m[..., 20:40, 20:40] = 1.0
+    w = np.asarray(mask_to_latent(jnp.asarray(m), 8))
+    assert w.shape == (3, 2, 64)
+    assert w.max() <= 1.0 + 1e-6 and w.min() >= 0.0
+    assert w.sum() > 0
