@@ -163,3 +163,14 @@ def test_center_crop_arr():
     img = Image.fromarray(np.zeros((100, 70, 3), np.uint8))
     out = center_crop_arr(img, 16)
     assert out.shape == (16, 16, 3)
+
+
+def test_sampling_with_decoder():
+    trainer = _tiny_trainer()
+    from diffsim_tpu.models import vae as vae_mod
+
+    dec = vae_mod.decoder_init(jax.random.PRNGKey(7), vae_mod.VAEConfig.tiny())
+    out = trainer.sample(np.asarray([1]), jax.random.PRNGKey(0), num_steps=4, vae_decoder=dec)
+    # tiny VAE downscale is 2: 8x8 latents -> 16x16 pixels
+    assert out.shape == (1, 16, 16, 3)
+    assert np.all(np.isfinite(out))

@@ -220,3 +220,32 @@ def test_cli_cute_ensemble_tiny(data, tmp_path):
     )
     assert rep.total == 40
     assert 0 <= rep.correct <= rep.total
+
+
+def test_batch_size_invariance_spearman(data, tmp_path):
+    """The same benchmark scored at different batch sizes must produce identical scores —
+    validated end-to-end through the compare_results parity tool."""
+    import json
+    import subprocess
+    import sys
+
+    from diffsim_tpu.cli.main import run_benchmark
+
+    outs = []
+    for bs in (4, 16):
+        out = str(tmp_path / f"tid_b{bs}.jsonl")
+        run_benchmark(
+            "tid",
+            ["--image_path", data["tid"], "--image_size", "32", "--metric", "diffsim",
+             "--target_layer", "0", "--target_step", "600", "--similarity", "cosine",
+             "--model_scale", "tiny", "--batch_size", str(bs), "--results", out],
+        )
+        outs.append(out)
+    from diffsim_tpu.cli import compare_results
+
+    a = compare_results._load(outs[0])
+    b = compare_results._load(outs[1])
+    sa = np.array([s for i in sorted(a) for s in a[i]])
+    sb = np.array([s for i in sorted(b) for s in b[i]])
+    assert compare_results.spearman(sa, sb) == 1.0
+    np.testing.assert_allclose(sa, sb, atol=1e-5)
