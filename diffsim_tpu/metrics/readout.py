@@ -37,7 +37,18 @@ def _flat_mse(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 
 def cross_attention_score(qa, ka, va, qb, kb, vb, similarity: str = "cosine") -> jnp.ndarray:
-    """(P,) DiffSim scores from per-image taps of shape (P, B, heads, seq, head_dim)."""
+    """(P,) DiffSim scores from per-image taps of shape (P, B, heads, seq, head_dim).
+
+    Long self-attention taps on TPU route through the Pallas fused readout
+    (ops/pallas/readout.py), which accumulates the similarity partials in VMEM instead of
+    materializing the four attention outputs."""
+    if similarity in ("cosine", "mse") and qa.ndim == 5 and qa.shape == kb.shape:
+        from diffsim_tpu.ops.pallas.readout import fused_direction_score, use_fused_readout
+
+        if use_fused_readout(qa.shape):
+            a_on_b = fused_direction_score(qa, ka, va, kb, vb, similarity)
+            b_on_a = fused_direction_score(qb, kb, vb, ka, va, similarity)
+            return (a_on_b + b_on_a) / 2.0
     attn_a_on_b = sdpa(qa, kb, vb)
     attn_b_on_a = sdpa(qb, ka, va)
     self_attn_a = sdpa(qa, ka, va)
