@@ -1,0 +1,58 @@
+"""Gated cross-framework parity: compares this framework's SD-1.5 forward against cached torch
+activations (tools/dump_torch_reference.py). Skipped unless both artifacts are supplied:
+
+    DIFFSIM_TPU_TORCH_DUMP=torch_dump.npz DIFFSIM_TPU_WEIGHTS=sd15.npz pytest this_file
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+DUMP = os.environ.get("DIFFSIM_TPU_TORCH_DUMP")
+WEIGHTS = os.environ.get("DIFFSIM_TPU_WEIGHTS")
+
+pytestmark = pytest.mark.skipif(
+    not (DUMP and WEIGHTS and os.path.exists(DUMP) and os.path.exists(WEIGHTS)),
+    reason="set DIFFSIM_TPU_TORCH_DUMP and DIFFSIM_TPU_WEIGHTS to run torch parity",
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax.numpy as jnp
+
+    from diffsim_tpu.convert import load_params
+    from diffsim_tpu.models import unet, vae
+
+    dump = np.load(DUMP)
+    params = load_params(WEIGHTS)
+    return dump, params, unet, vae, jnp
+
+
+def test_vae_moments_parity(setup):
+    dump, params, _, vae, jnp = setup
+    pixels = dump["pixels"].transpose(0, 2, 3, 1)  # NCHW -> NHWC
+    ours = np.asarray(vae.encoder_apply(params["vae"], jnp.asarray(pixels, jnp.float32)))
+    theirs = dump["vae_moments"].transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-3)
+
+
+def test_unet_eps_and_tap_parity(setup):
+    import jax.numpy as jnp_
+
+    from diffsim_tpu.ops.taps import QKV, TapSpec
+
+    dump, params, unet, _, jnp = setup
+    cfg = unet.UNetConfig.sd15()
+    x = dump["latents"].transpose(0, 2, 3, 1)
+    ctx = dump["context"]
+    eps, taps = unet.apply(
+        params["unet"], jnp_.asarray(x, jnp_.float32), jnp_.float32(float(dump["t"])),
+        jnp_.asarray(ctx, jnp_.float32), cfg, tap=TapSpec("up", (1, -1, -1), "attn1", QKV),
+    )
+    np.testing.assert_allclose(
+        np.asarray(eps), dump["eps"].transpose(0, 2, 3, 1), rtol=5e-3, atol=5e-3
+    )
+    for name in ("q", "k", "v"):
+        np.testing.assert_allclose(np.asarray(taps[name]), dump[name], rtol=5e-3, atol=5e-3)
