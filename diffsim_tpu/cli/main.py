@@ -48,8 +48,6 @@ def run_benchmark(benchmark: str, argv=None) -> runner.Report:
     mesh = make_mesh_or_none(args.num_devices)
 
     if args.metric == "ensemble":
-        from diffsim_tpu.metrics.registry import MetricAdapter  # noqa: F401
-
         scorers = []
         for m in ("diffsim", "clip_i", "dino"):
             ad = build_metric(_clone_args(args, metric=m), mesh)

@@ -13,7 +13,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from diffsim_tpu.ops.attention import merge_heads, sdpa, split_heads
+from diffsim_tpu.ops.attention import merge_heads, split_heads
 from diffsim_tpu.ops.blocks import layer_norm, linear, linear_init, norm_init, quick_gelu, gelu, rand_normal
 
 

@@ -20,7 +20,6 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from diffsim_tpu.ops.attention import merge_heads, split_heads
 from diffsim_tpu.ops.blocks import gelu, layer_norm, linear, linear_init, norm_init, rand_normal

@@ -11,8 +11,6 @@ resumable), storing {params, ema, opt_state, step}.
 from __future__ import annotations
 
 import dataclasses
-import functools
-import time
 
 import jax
 import jax.numpy as jnp
