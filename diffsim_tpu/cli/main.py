@@ -70,6 +70,7 @@ def run_benchmark(benchmark: str, argv=None) -> runner.Report:
         report = runner.run_2afc(
             comparisons,
             adapter.score_pairs,
+            score_triplets=adapter.score_triplets,
             rule=rule,
             lower_better=lower,
             img_size=args.image_size,

@@ -253,6 +253,124 @@ class DiffSimSD15:
             )
         return jax.jit(fn, donate_argnums=(1,))
 
+
+    @functools.lru_cache(maxsize=32)
+    def _triplet_fn(self, tap: TapSpec, similarity: str):
+        """Triplet-fused variant of the scoring graph for the benchmarks' 2AFC structure:
+        sim(A,B) and sim(A,C) share image A's VAE encode, noising and UNet forwards exactly
+        (the reference reseeds its generator per call, so A's draws are identical in both
+        pairs — /root/reference/diffsim/diffsim.py:109-169). 3 images / 6 CFG forwards per
+        triplet instead of 4 / 8: ~25% less compute and host->device traffic."""
+        unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
+        cfg_parity = self.cfg_parity
+        latent_c = vae_cfg.latent_channels
+        down = vae_cfg.downscale
+
+        def fn(params, pix, embeds, noise_sab, key):
+            # pix (T, 3, H, W, C): [a, b, c]; embeds (T, 2, 77, hidden) [neg, pos]
+            model_t, a, b = noise_sab
+            T, three, H, W, _ = pix.shape
+            h, w = H // down, W // down
+            if pix.dtype == jnp.uint8:
+                pix = (pix.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
+            moments = vae.encoder_apply_chunked(params["vae"], pix.reshape(T * 3, H, W, 3))
+            moments = moments.reshape(T, 3, h, w, 2 * latent_c)
+            # roles: A keeps its draws; B and C each play "image B" of their own pair
+            eps_a = jax.random.normal(prng.role_key(key, prng.VAE_A), (h, w, latent_c))
+            eps_b = jax.random.normal(prng.role_key(key, prng.VAE_B), (h, w, latent_c))
+            if self.vae_mode:
+                z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, mode=True)
+            else:
+                z = vae.sample_latents(
+                    moments, None, vae_cfg.scaling_factor,
+                    noise=jnp.stack([eps_a, eps_b, eps_b])[None],
+                )
+            n_a = jax.random.normal(prng.role_key(key, prng.NOISE_A), (h, w, latent_c))
+            n_b = jax.random.normal(prng.role_key(key, prng.NOISE_B), (h, w, latent_c))
+            x = (a * z.astype(jnp.float32) + b * jnp.stack([n_a, n_b, n_b])[None]).astype(z.dtype)
+
+            seq, hid = embeds.shape[-2:]
+            if cfg_parity:
+                x_in = x[:, jnp.array([0, 0, 1, 1, 2, 2])].reshape(T * 6, h, w, latent_c)
+                ctx = embeds[:, jnp.array([0, 1, 0, 1, 0, 1])].reshape(T * 6, seq, hid)
+                per_img = 2
+            else:
+                x_in = x.reshape(T * 3, h, w, latent_c)
+                ctx = embeds[:, jnp.array([1, 1, 1])].reshape(T * 3, seq, hid)
+                per_img = 1
+
+            _, taps = unet.apply(
+                params["unet"], x_in, jnp.float32(model_t), ctx, unet_cfg, tap=tap
+            )
+            nb = 3 * per_img
+            q, k, v = (
+                t_.reshape((T, nb) + t_.shape[1:]) for t_ in (taps["q"], taps["k"], taps["v"])
+            )
+            sl_a = slice(0, per_img)
+            sl_b = slice(per_img, 2 * per_img)
+            sl_c = slice(2 * per_img, 3 * per_img)
+            s_ab = readout.cross_attention_score(
+                q[:, sl_a], k[:, sl_a], v[:, sl_a], q[:, sl_b], k[:, sl_b], v[:, sl_b], similarity
+            )
+            s_ac = readout.cross_attention_score(
+                q[:, sl_a], k[:, sl_a], v[:, sl_a], q[:, sl_c], k[:, sl_c], v[:, sl_c], similarity
+            )
+            return s_ab, s_ac
+
+        if self.mesh is not None:
+            ds = meshlib.data_sharding(self.mesh)
+            rs = meshlib.replicated(self.mesh)
+            return jax.jit(fn, in_shardings=(rs, ds, ds, rs, rs),
+                           out_shardings=(ds, ds), donate_argnums=(1,))
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def score_triplet_batch(
+        self,
+        pix_a: np.ndarray,
+        pix_b: np.ndarray,
+        pix_c: np.ndarray,
+        *,
+        prompt="",
+        target_block: str = "up_blocks",
+        target_layer=0,
+        target_step: int = 600,
+        similarity: str = "cosine",
+        seed: int = 2333,
+        fix_layer_collapse: bool = False,
+        blocking: bool = True,
+    ):
+        """(s_ab, s_ac) for T 2AFC triplets — numerically identical to two score_batch calls,
+        sharing A's work. Returns the two (T,) arrays (or a fetch callable)."""
+        tap = sd15_tap(target_block, target_layer, False, fix_layer_collapse)
+        spec = schedulers.sd15_noise_spec(target_step)
+        T = pix_a.shape[0]
+        transport = np.uint8 if pix_a.dtype == np.uint8 else self.dtype
+        pix = np.stack([pix_a, pix_b, pix_c], axis=1).astype(transport)
+        prompts = [prompt] * T if isinstance(prompt, str) else list(prompt)
+        pad = 0
+        if self.mesh is not None:
+            target = meshlib.pad_to_multiple(T, meshlib.data_axis_size(self.mesh))
+            pad = target - T
+            if pad:
+                pix = np.concatenate([pix, np.repeat(pix[-1:], pad, 0)], axis=0)
+                prompts = prompts + [prompts[-1]] * pad
+        embeds = np.stack([self.encode_prompt(p) for p in prompts])
+        fn = self._triplet_fn(tap, similarity)
+        s_ab, s_ac = fn(
+            self.params,
+            jnp.asarray(pix),
+            embeds,
+            (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
+            jax.random.PRNGKey(int(seed)),
+        )
+
+        def fetch():
+            out_ab = np.asarray(jax.device_get(s_ab), np.float32)
+            out_ac = np.asarray(jax.device_get(s_ac), np.float32)
+            return (out_ab[:T], out_ac[:T]) if pad else (out_ab, out_ac)
+
+        return fetch() if blocking else fetch
+
     def _ip_embed(self, params, pix):
         """[-1,1] pixels at the scoring resolution -> adapter tokens. The reference feeds the
         original PIL image through CLIPImageProcessor; we resize the lanczos-512 pixels on

@@ -20,11 +20,15 @@ METRICS = [
 
 @dataclasses.dataclass
 class MetricAdapter:
-    """score_pairs(pix_a (N,H,W,C), pix_b, prompts) -> (N,) scores."""
+    """score_pairs(pix_a (N,H,W,C), pix_b, prompts) -> (N,) scores.
+
+    ``score_triplets(pix_a, pix_b, pix_c, prompts, blocking=...) -> (s_ab, s_ac)`` is the
+    optional fused 2AFC path (image A's work shared across both pairs)."""
 
     score_pairs: Callable[[np.ndarray, np.ndarray, list[str]], np.ndarray]
     lower_better: bool
     preprocess: Callable | None = None  # None => default lanczos/[-1,1] at image_size
+    score_triplets: Callable | None = None
 
 
 def build_metric(args, mesh=None) -> MetricAdapter:
@@ -87,6 +91,15 @@ def build_metric(args, mesh=None) -> MetricAdapter:
                     similarity=similarity, seed=args.seed, ip_adapter=args.ip_adapter,
                     blocking=blocking,
                 )
+
+            score_triplets = None
+            if not args.ip_adapter:
+                def score_triplets(pa, pb, pc, prompts, blocking=True):
+                    return scorer.score_triplet_batch(
+                        pa, pb, pc, prompt=prompts, target_block=args.target_block,
+                        target_layer=args.target_layer, target_step=args.target_step,
+                        similarity=similarity, seed=args.seed, blocking=blocking,
+                    )
         else:
             def score_pairs(pa, pb, prompts):
                 return scorer.score_feats_batch(
@@ -95,6 +108,8 @@ def build_metric(args, mesh=None) -> MetricAdapter:
                     similarity=similarity, seed=args.seed,
                 )
 
+        if name == "diffsim":
+            return MetricAdapter(score_pairs, lower, preprocess=u8, score_triplets=score_triplets)
         return MetricAdapter(score_pairs, lower, preprocess=u8)
 
     if name == "dit":

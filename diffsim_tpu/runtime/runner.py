@@ -64,6 +64,7 @@ def run_2afc(
     comparisons: Sequence[Comparison],
     score_pairs: Callable[[np.ndarray, np.ndarray, list[str]], np.ndarray],
     *,
+    score_triplets: Callable | None = None,
     rule: str = STANDARD,
     lower_better: bool = False,
     img_size: int = 512,
@@ -117,8 +118,13 @@ def run_2afc(
             scores = fetch_() if callable(fetch_) else fetch_
         n_ = len(chunk_)
         with timer.stage("log"):
-            for j, i in enumerate(chunk_):
-                log.record(i, s_ab=float(scores[j]), s_ac=float(scores[n_ + j]))
+            if isinstance(scores, tuple):  # triplet path: (s_ab, s_ac)
+                s_ab, s_ac = scores
+                for j, i in enumerate(chunk_):
+                    log.record(i, s_ab=float(s_ab[j]), s_ac=float(s_ac[j]))
+            else:
+                for j, i in enumerate(chunk_):
+                    log.record(i, s_ab=float(scores[j]), s_ac=float(scores[n_ + j]))
 
     while inflight:
         chunk, futs = inflight.pop(0)
@@ -127,14 +133,20 @@ def run_2afc(
         if ci < len(chunks):
             inflight.append((chunks[ci], decode(chunks[ci])))
             ci += 1
-        pix_a = np.concatenate([a for a, _, _ in arrs] * 2, axis=0)
-        pix_bc = np.concatenate([b for _, b, _ in arrs] + [c for _, _, c in arrs], axis=0)
-        prompts = [comparisons[i].prompt for i in chunk] * 2
+        prompts = [comparisons[i].prompt for i in chunk]
         with timer.stage("dispatch"):
-            try:
-                result = score_pairs(pix_a, pix_bc, prompts, blocking=False)
-            except TypeError:
-                result = score_pairs(pix_a, pix_bc, prompts)
+            if score_triplets is not None:
+                pa = np.concatenate([a for a, _, _ in arrs], axis=0)
+                pb = np.concatenate([b for _, b, _ in arrs], axis=0)
+                pc = np.concatenate([c for _, _, c in arrs], axis=0)
+                result = score_triplets(pa, pb, pc, prompts, blocking=False)
+            else:
+                pix_a = np.concatenate([a for a, _, _ in arrs] * 2, axis=0)
+                pix_bc = np.concatenate([b for _, b, _ in arrs] + [c for _, _, c in arrs], axis=0)
+                try:
+                    result = score_pairs(pix_a, pix_bc, prompts * 2, blocking=False)
+                except TypeError:
+                    result = score_pairs(pix_a, pix_bc, prompts * 2)
         drain()
         pending_fetch = (chunk, result)
     drain()

@@ -201,3 +201,12 @@ def test_mask_to_latent_shapes():
     assert w.shape == (3, 2, 64)
     assert w.max() <= 1.0 + 1e-6 and w.min() >= 0.0
     assert w.sum() > 0
+
+
+def test_triplet_path_bit_identical_to_pairs(scorer):
+    """The fused triplet graph shares image A's latents/noise/forwards; scores must equal the
+    pair path exactly (the reference reseeds per call, so A's draws repeat across its pairs)."""
+    a, b, c = _pix(30, 2), _pix(31, 2), _pix(32, 2)
+    s_ab, s_ac = scorer.score_triplet_batch(a, b, c, target_step=600, prompt="p")
+    np.testing.assert_array_equal(s_ab, scorer.score_batch(a, b, target_step=600, prompt="p"))
+    np.testing.assert_array_equal(s_ac, scorer.score_batch(a, c, target_step=600, prompt="p"))
