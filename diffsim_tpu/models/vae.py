@@ -161,13 +161,18 @@ def sample_latents(moments, key, scaling_factor, noise=None, mode=False):
 def encoder_apply_chunked(p, x, chunk: int = 16):
     """Encode in ``chunk``-image slices via lax.map: full-resolution VAE activations are the
     largest live buffers in the scoring graph (batch x 512^2 x 128ch), and slicing keeps both
-    the compiler and HBM within budget at large pair batches."""
+    the compiler and HBM within budget at large pair batches. A non-multiple remainder is
+    encoded as one extra slice."""
     n = x.shape[0]
-    if n <= chunk or n % chunk:
+    if n <= chunk:
         return encoder_apply(p, x)
-    xs = x.reshape(n // chunk, chunk, *x.shape[1:])
+    main = (n // chunk) * chunk
+    xs = x[:main].reshape(n // chunk, chunk, *x.shape[1:])
     out = jax.lax.map(lambda xi: encoder_apply(p, xi), xs)
-    return out.reshape(n, *out.shape[2:])
+    out = out.reshape(main, *out.shape[2:])
+    if main < n:
+        out = jnp.concatenate([out, encoder_apply(p, x[main:])], axis=0)
+    return out
 
 
 def encode_and_sample(p, x, key, cfg: VAEConfig):
