@@ -103,6 +103,61 @@ class DiffSimDiT(ScorerBase):
 
         return self._jit_pairs(fn, n_data=1)
 
+    @functools.lru_cache(maxsize=16)
+    def _triplet_fn(self, tap: TapSpec, similarity: str):
+        """Triplet-fused variant: image A's latents/noise/forwards are shared between
+        sim(A,B) and sim(A,C) — bit-identical to two pair calls (the reference reseeds its
+        generator per call)."""
+        cfg, vae_cfg = self.dit_cfg, self.vae_cfg
+        latent_c = vae_cfg.latent_channels
+        down = vae_cfg.downscale
+
+        def fn(params, pix, noise_sab, key):
+            model_t, a, b = noise_sab
+            T, three, H, W, _ = pix.shape
+            h = H // down
+            if pix.dtype == jnp.uint8:
+                pix = (pix.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
+            moments = vae.encoder_apply_chunked(params["vae"], pix.reshape(T * 3, H, W, 3))
+            moments = moments.reshape(T, 3, h, h, 2 * latent_c)
+            eps_a = jax.random.normal(prng.role_key(key, prng.VAE_A), (h, h, latent_c))
+            eps_b = jax.random.normal(prng.role_key(key, prng.VAE_B), (h, h, latent_c))
+            if self.vae_mode:
+                z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, mode=True)
+            else:
+                z = vae.sample_latents(moments, None, vae_cfg.scaling_factor,
+                                       noise=jnp.stack([eps_a, eps_b, eps_b])[None])
+            n_a = jax.random.normal(prng.role_key(key, prng.NOISE_A), (h, h, latent_c))
+            n_b = jax.random.normal(prng.role_key(key, prng.NOISE_B), (h, h, latent_c))
+            x = (a * z.astype(jnp.float32) + b * jnp.stack([n_a, n_b, n_b])[None]).astype(z.dtype)
+
+            x_in = x[:, jnp.array([0, 0, 1, 1, 2, 2])].reshape(T * 6, h, h, latent_c)
+            y = jnp.tile(jnp.asarray([1, cfg.num_classes]), (T * 3,))
+            t = jnp.broadcast_to(jnp.float32(model_t), (T * 6,))
+            _, taps = dit.apply(params["dit"], x_in, t, y, cfg, tap=tap)
+            q, k, v = (t_.reshape((T, 6) + t_.shape[1:]) for t_ in (taps["q"], taps["k"], taps["v"]))
+            sa, sb, sc = slice(0, 2), slice(2, 4), slice(4, 6)
+            s_ab = readout.cross_attention_score(
+                q[:, sa], k[:, sa], v[:, sa], q[:, sb], k[:, sb], v[:, sb], similarity)
+            s_ac = readout.cross_attention_score(
+                q[:, sa], k[:, sa], v[:, sa], q[:, sc], k[:, sc], v[:, sc], similarity)
+            return s_ab, s_ac
+
+        if self.mesh is not None:
+            from diffsim_tpu.parallel import mesh as meshlib
+
+            ds = meshlib.data_sharding(self.mesh)
+            rs = meshlib.replicated(self.mesh)
+            return jax.jit(fn, in_shardings=(rs, ds, rs, rs), out_shardings=(ds, ds),
+                           donate_argnums=(1,))
+        return jax.jit(fn, donate_argnums=(1,))
+
+    @staticmethod
+    def _resolve_layer(target_layer):
+        if isinstance(target_layer, (list, tuple)):
+            return int(target_layer[0])  # diffsim_dit.py:75 — unwraps correctly
+        return int(target_layer)
+
     def score_batch(
         self,
         pix_a: np.ndarray,
@@ -112,11 +167,10 @@ class DiffSimDiT(ScorerBase):
         target_step: int = 600,
         similarity: str = "cosine",
         seed: int = 2333,
+        blocking: bool = True,
         **_,
-    ) -> np.ndarray:
-        if isinstance(target_layer, (list, tuple)):
-            target_layer = target_layer[0]  # diffsim_dit.py:75 — unwraps correctly
-        tap = TapSpec("blocks", (int(target_layer),), "attn1", QKV)
+    ):
+        tap = TapSpec("blocks", (self._resolve_layer(target_layer),), "attn1", QKV)
         spec = schedulers.dit_noise_spec(target_step)
         pix, _, P, pad = self._pad_pairs(pix_a, pix_b, None)
         fn = self._score_fn(tap, similarity)
@@ -126,8 +180,53 @@ class DiffSimDiT(ScorerBase):
             (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
             jax.random.PRNGKey(int(seed)),
         )
-        out = np.asarray(jax.device_get(scores), np.float32)
-        return out[:P] if pad else out
+
+        def fetch():
+            out = np.asarray(jax.device_get(scores), np.float32)
+            return out[:P] if pad else out
+
+        return fetch() if blocking else fetch
+
+    def score_triplet_batch(
+        self,
+        pix_a: np.ndarray,
+        pix_b: np.ndarray,
+        pix_c: np.ndarray,
+        *,
+        target_layer=0,
+        target_step: int = 600,
+        similarity: str = "cosine",
+        seed: int = 2333,
+        blocking: bool = True,
+        **_,
+    ):
+        tap = TapSpec("blocks", (self._resolve_layer(target_layer),), "attn1", QKV)
+        spec = schedulers.dit_noise_spec(target_step)
+        T = pix_a.shape[0]
+        transport = np.uint8 if pix_a.dtype == np.uint8 else self.dtype
+        pix = np.stack([pix_a, pix_b, pix_c], axis=1).astype(transport)
+        pad = 0
+        if self.mesh is not None:
+            from diffsim_tpu.parallel import mesh as meshlib
+
+            target = meshlib.pad_to_multiple(T, meshlib.data_axis_size(self.mesh))
+            pad = target - T
+            if pad:
+                pix = np.concatenate([pix, np.repeat(pix[-1:], pad, 0)], axis=0)
+        fn = self._triplet_fn(tap, similarity)
+        s_ab, s_ac = fn(
+            self.params,
+            jnp.asarray(pix),
+            (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
+            jax.random.PRNGKey(int(seed)),
+        )
+
+        def fetch():
+            a_ = np.asarray(jax.device_get(s_ab), np.float32)
+            c_ = np.asarray(jax.device_get(s_ac), np.float32)
+            return (a_[:T], c_[:T]) if pad else (a_, c_)
+
+        return fetch() if blocking else fetch
 
     def diffsim_score(self, image_a, image_b, img_size=None, prompt="", target_block=None,
                       target_layer=(0,), target_step=600, similarity="cosine", seed=2333):

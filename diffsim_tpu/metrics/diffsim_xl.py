@@ -194,6 +194,75 @@ class DiffSimXL(ScorerBase):
 
         return self._jit_pairs(fn, n_data=3)
 
+    @functools.lru_cache(maxsize=16)
+    def _triplet_fn(self, tap: TapSpec, similarity: str):
+        """Triplet-fused variant sharing image A's work — bit-identical to two pair calls
+        (the reference reseeds its generator per call)."""
+        unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
+        cfg_parity = self.cfg_parity
+        latent_c = vae_cfg.latent_channels
+        down = vae_cfg.downscale
+
+        def fn(params, pix, embeds, pooled, noise_sab, key):
+            model_t, a, b = noise_sab
+            T, three, H, W, _ = pix.shape
+            h = H // down
+            if pix.dtype == jnp.uint8:
+                pix = pix.astype(jnp.float32) / 127.5 - 1.0
+            moments = vae.encoder_apply_chunked(
+                params["vae"], pix.astype(jnp.float32).reshape(T * 3, H, W, 3)
+            )
+            moments = moments.reshape(T, 3, h, h, 2 * latent_c)
+            eps_a = jax.random.normal(prng.role_key(key, prng.VAE_A), (h, h, latent_c))
+            eps_b = jax.random.normal(prng.role_key(key, prng.VAE_B), (h, h, latent_c))
+            if self.vae_mode:
+                z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, mode=True)
+            else:
+                z = vae.sample_latents(moments, None, vae_cfg.scaling_factor,
+                                       noise=jnp.stack([eps_a, eps_b, eps_b])[None])
+            z = z.astype(self.dtype)
+            n_a = jax.random.normal(prng.role_key(key, prng.NOISE_A), (h, h, latent_c))
+            n_b = jax.random.normal(prng.role_key(key, prng.NOISE_B), (h, h, latent_c))
+            x = (a * z.astype(jnp.float32) + b * jnp.stack([n_a, n_b, n_b])[None]).astype(self.dtype)
+
+            seq, hid = embeds.shape[-2:]
+            time_ids = jnp.asarray(self.default_time_ids())
+            if cfg_parity:
+                x_in = x[:, jnp.array([0, 0, 1, 1, 2, 2])].reshape(T * 6, h, h, latent_c)
+                ctx = embeds[:, jnp.array([0, 1, 0, 1, 0, 1])].reshape(T * 6, seq, hid)
+                pool = pooled[:, jnp.array([0, 1, 0, 1, 0, 1])].reshape(T * 6, -1)
+                n_in, per_img = T * 6, 2
+            else:
+                x_in = x.reshape(T * 3, h, h, latent_c)
+                ctx = embeds[:, jnp.array([1, 1, 1])].reshape(T * 3, seq, hid)
+                pool = pooled[:, jnp.array([1, 1, 1])].reshape(T * 3, -1)
+                n_in, per_img = T * 3, 1
+            added = {
+                "text_embeds": pool.astype(self.dtype),
+                "time_ids": jnp.tile(time_ids[None], (n_in, 1)),
+            }
+            _, taps = unet.apply(params["unet"], x_in, jnp.float32(model_t), ctx, unet_cfg,
+                                 tap=tap, added_cond=added)
+            nb = 3 * per_img
+            q, k, v = (t_.reshape((T, nb) + t_.shape[1:]) for t_ in (taps["q"], taps["k"], taps["v"]))
+            sa = slice(0, per_img)
+            sb = slice(per_img, 2 * per_img)
+            sc = slice(2 * per_img, 3 * per_img)
+            s_ab = readout.cross_attention_score(
+                q[:, sa], k[:, sa], v[:, sa], q[:, sb], k[:, sb], v[:, sb], similarity)
+            s_ac = readout.cross_attention_score(
+                q[:, sa], k[:, sa], v[:, sa], q[:, sc], k[:, sc], v[:, sc], similarity)
+            return s_ab, s_ac
+
+        if self.mesh is not None:
+            from diffsim_tpu.parallel import mesh as meshlib
+
+            ds = meshlib.data_sharding(self.mesh)
+            rs = meshlib.replicated(self.mesh)
+            return jax.jit(fn, in_shardings=(rs, ds, ds, ds, rs, rs),
+                           out_shardings=(ds, ds), donate_argnums=(1,))
+        return jax.jit(fn, donate_argnums=(1,))
+
     def score_batch(
         self,
         pix_a: np.ndarray,
@@ -206,7 +275,8 @@ class DiffSimXL(ScorerBase):
         similarity: str = "cosine",
         seed: int = 2333,
         ip_adapter: bool = False,
-    ) -> np.ndarray:
+        blocking: bool = True,
+    ):
         tap = sdxl_tap(target_block, target_layer, ip_adapter)
         spec = schedulers.sdxl_noise_spec(target_step)
         prompts = [prompt] * pix_a.shape[0] if isinstance(prompt, str) else list(prompt)
@@ -223,8 +293,61 @@ class DiffSimXL(ScorerBase):
             (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
             jax.random.PRNGKey(int(seed)),
         )
-        out = np.asarray(jax.device_get(scores), np.float32)
-        return out[:P] if pad else out
+
+        def fetch():
+            out = np.asarray(jax.device_get(scores), np.float32)
+            return out[:P] if pad else out
+
+        return fetch() if blocking else fetch
+
+    def score_triplet_batch(
+        self,
+        pix_a: np.ndarray,
+        pix_b: np.ndarray,
+        pix_c: np.ndarray,
+        *,
+        prompt="",
+        target_block: str = "up_blocks",
+        target_layer=(0, 0, 0),
+        target_step: int = 900,
+        similarity: str = "cosine",
+        seed: int = 2333,
+        blocking: bool = True,
+    ):
+        tap = sdxl_tap(target_block, target_layer, False)
+        spec = schedulers.sdxl_noise_spec(target_step)
+        T = pix_a.shape[0]
+        transport = np.uint8 if pix_a.dtype == np.uint8 else self.dtype
+        pix = np.stack([pix_a, pix_b, pix_c], axis=1).astype(transport)
+        prompts = [prompt] * T if isinstance(prompt, str) else list(prompt)
+        pad = 0
+        if self.mesh is not None:
+            from diffsim_tpu.parallel import mesh as meshlib
+
+            target = meshlib.pad_to_multiple(T, meshlib.data_axis_size(self.mesh))
+            pad = target - T
+            if pad:
+                pix = np.concatenate([pix, np.repeat(pix[-1:], pad, 0)], axis=0)
+                prompts = prompts + [prompts[-1]] * pad
+        enc = [self.encode_prompt(p) for p in prompts]
+        embeds = np.stack([e for e, _ in enc])
+        pooled = np.stack([p for _, p in enc])
+        fn = self._triplet_fn(tap, similarity)
+        s_ab, s_ac = fn(
+            self.params,
+            jnp.asarray(pix),
+            embeds,
+            pooled,
+            (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
+            jax.random.PRNGKey(int(seed)),
+        )
+
+        def fetch():
+            a_ = np.asarray(jax.device_get(s_ab), np.float32)
+            c_ = np.asarray(jax.device_get(s_ac), np.float32)
+            return (a_[:T], c_[:T]) if pad else (a_, c_)
+
+        return fetch() if blocking else fetch
 
     def diffsim_score(self, image_a, image_b, img_size=None, prompt="", target_block="up_blocks",
                       target_layer=(0, 0, 0), target_step=900, similarity="cosine", seed=2333):

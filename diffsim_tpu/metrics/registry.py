@@ -133,15 +133,22 @@ def build_metric(args, mesh=None) -> MetricAdapter:
             **kw,
         )
 
-        def score_pairs(pa, pb, prompts):
+        def score_pairs(pa, pb, prompts, blocking=True):
             return scorer.score_batch(
                 pa, pb, target_layer=args.target_layer, target_step=args.target_step,
-                similarity=similarity, seed=args.seed,
+                similarity=similarity, seed=args.seed, blocking=blocking,
+            )
+
+        def score_triplets(pa, pb, pc, prompts, blocking=True):
+            return scorer.score_triplet_batch(
+                pa, pb, pc, target_layer=args.target_layer, target_step=args.target_step,
+                similarity=similarity, seed=args.seed, blocking=blocking,
             )
 
         from diffsim_tpu.core.image import process_image_u8 as _p8
 
-        return MetricAdapter(score_pairs, lower, preprocess=lambda img: _p8(img, args.image_size))
+        return MetricAdapter(score_pairs, lower, preprocess=lambda img: _p8(img, args.image_size),
+                             score_triplets=score_triplets)
 
     if name == "diffsim_xl":
         from diffsim_tpu.metrics.diffsim_xl import DiffSimXL
@@ -170,16 +177,27 @@ def build_metric(args, mesh=None) -> MetricAdapter:
             **kw,
         )
 
-        def score_pairs(pa, pb, prompts):
+        def score_pairs(pa, pb, prompts, blocking=True):
             return scorer.score_batch(
                 pa, pb, prompt=prompts, target_block=args.target_block,
                 target_layer=args.target_layer, target_step=args.target_step,
                 similarity=similarity, seed=args.seed, ip_adapter=args.ip_adapter,
+                blocking=blocking,
             )
+
+        score_triplets = None
+        if not args.ip_adapter:
+            def score_triplets(pa, pb, pc, prompts, blocking=True):
+                return scorer.score_triplet_batch(
+                    pa, pb, pc, prompt=prompts, target_block=args.target_block,
+                    target_layer=args.target_layer, target_step=args.target_step,
+                    similarity=similarity, seed=args.seed, blocking=blocking,
+                )
 
         from diffsim_tpu.core.image import process_image_u8 as _p8
 
-        return MetricAdapter(score_pairs, lower, preprocess=lambda img: _p8(img, args.image_size))
+        return MetricAdapter(score_pairs, lower, preprocess=lambda img: _p8(img, args.image_size),
+                             score_triplets=score_triplets)
 
     if name in ("clip_i", "clip_cross", "clipfeats"):
         from diffsim_tpu.metrics.clip_i import CLIPScore

@@ -110,3 +110,19 @@ def test_dit_batch_matches_single(dit_scorer):
         for i in range(2)
     ]
     np.testing.assert_allclose(batched, singles, atol=1e-5)
+
+
+def test_xl_triplet_bit_identical(xl_scorer):
+    a, b, c = _pix(20, 2), _pix(21, 2), _pix(22, 2)
+    kw = dict(prompt="s", target_block="up_blocks", target_layer=[0, 0, 1], target_step=900)
+    s_ab, s_ac = xl_scorer.score_triplet_batch(a, b, c, **kw)
+    np.testing.assert_array_equal(s_ab, xl_scorer.score_batch(a, b, **kw))
+    np.testing.assert_array_equal(s_ac, xl_scorer.score_batch(a, c, **kw))
+
+
+def test_dit_triplet_bit_identical(dit_scorer):
+    a, b, c = _pix(23, 2), _pix(24, 2), _pix(25, 2)
+    kw = dict(target_layer=[1], target_step=750)
+    s_ab, s_ac = dit_scorer.score_triplet_batch(a, b, c, **kw)
+    np.testing.assert_array_equal(s_ab, dit_scorer.score_batch(a, b, **kw))
+    np.testing.assert_array_equal(s_ac, dit_scorer.score_batch(a, c, **kw))
