@@ -35,7 +35,9 @@ class TrainConfig:
 
 class DiTTrainer:
     def __init__(self, cfg: TrainConfig, mesh=None, dit_cfg=None, vae_params=None,
-                 vae_cfg=None, dtype=jnp.float32):
+                 vae_cfg=None, dtype=jnp.float32, timestep_sampler=None):
+        from diffsim_tpu.train.timestep_sampler import UniformSampler
+
         self.cfg = cfg
         self.mesh = mesh
         self.dit_cfg = dit_cfg or dit.MODELS[cfg.model](
@@ -62,6 +64,8 @@ class DiTTrainer:
             vae_params = jax.device_put(vae_params, repl)
         self.state = state
         self.vae_params = vae_params
+        self.timestep_sampler = timestep_sampler or UniformSampler(self.diffusion.num_steps)
+        self._t_rng = np.random.default_rng(cfg.seed)
         self._step_fn = self._build_step()
 
     def _build_step(self):
@@ -72,7 +76,7 @@ class DiTTrainer:
         vae_cfg = self.vae_cfg
         optimizer = self.optimizer
 
-        def loss_fn(params, latents, labels, t, noise, dropout_key):
+        def loss_fn(params, latents, labels, t, t_weights, noise, dropout_key):
             def model_fn(x, model_t):
                 out, _ = dit.apply(
                     params, x, model_t, labels, dit_cfg, train=True, dropout_key=dropout_key
@@ -80,22 +84,21 @@ class DiTTrainer:
                 return out
 
             losses = diffusion.training_losses(model_fn, latents, t, noise)
-            return jnp.mean(losses["loss"]), losses
+            # importance-sampling weights keep the objective unbiased under non-uniform t
+            return jnp.mean(losses["loss"] * t_weights), losses
 
-        def step(state, vae_params, pixels, labels, key):
+        def step(state, vae_params, pixels, labels, t, t_weights, key):
             # pixels (B, H, W, 3) in [-1,1] or uint8; encode with the frozen VAE in-graph
             if pixels.dtype == jnp.uint8:
                 pixels = pixels.astype(jnp.float32) / 127.5 - 1.0
-            k_vae, k_t, k_noise, k_drop = jax.random.split(
-                jax.random.fold_in(key, state["step"]), 4
+            k_vae, k_noise, k_drop = jax.random.split(
+                jax.random.fold_in(key, state["step"]), 3
             )
             moments = vae.encoder_apply(vae_params, pixels)
             latents = vae.sample_latents(moments, k_vae, scaling)
-            b = latents.shape[0]
-            t = jax.random.randint(k_t, (b,), 0, diffusion.num_steps)
             noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
             (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state["params"], latents, labels, t, noise, k_drop
+                state["params"], latents, labels, t, t_weights, noise, k_drop
             )
             updates, opt = optimizer.update(grads, state["opt"], state["params"])
             params = optax.apply_updates(state["params"], updates)
@@ -103,21 +106,26 @@ class DiTTrainer:
                 lambda e, p: e * ema_decay + p * (1 - ema_decay), state["ema"], params
             )
             new_state = {"params": params, "ema": ema, "opt": opt, "step": state["step"] + 1}
-            return new_state, {"loss": loss, "mse": jnp.mean(losses["mse"])}
+            return new_state, {"loss": loss, "mse": jnp.mean(losses["mse"]),
+                               "per_example_loss": losses["loss"]}
 
         if self.mesh is not None:
             ds = meshlib.data_sharding(self.mesh)
             rs = meshlib.replicated(self.mesh)
             return jax.jit(
                 step,
-                in_shardings=(rs, rs, ds, ds, rs),
-                out_shardings=(rs, rs),
+                in_shardings=(rs, rs, ds, ds, ds, ds, rs),
+                out_shardings=(rs, {"loss": rs, "mse": rs, "per_example_loss": ds}),
                 donate_argnums=(0,),
             )
         return jax.jit(step, donate_argnums=(0,))
 
     def train_step(self, pixels: np.ndarray, labels: np.ndarray, key) -> dict:
-        self.state, metrics = self._step_fn(self.state, self.vae_params, pixels, labels, key)
+        t, t_weights = self.timestep_sampler.sample(self._t_rng, pixels.shape[0])
+        self.state, metrics = self._step_fn(
+            self.state, self.vae_params, pixels, labels, t, t_weights, key
+        )
+        self.timestep_sampler.update(t, np.asarray(metrics.pop("per_example_loss")))
         return metrics
 
     # ------------------------------------------------------------------

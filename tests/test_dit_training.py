@@ -174,3 +174,48 @@ def test_sampling_with_decoder():
     # tiny VAE downscale is 2: 8x8 latents -> 16x16 pixels
     assert out.shape == (1, 16, 16, 3)
     assert np.all(np.isfinite(out))
+
+
+def test_timestep_samplers():
+    from diffsim_tpu.train.timestep_sampler import LossSecondMomentSampler, UniformSampler
+
+    rng = np.random.default_rng(0)
+    u = UniformSampler(100)
+    t, w = u.sample(rng, 32)
+    assert t.shape == (32,) and np.all(w == 1.0) and t.max() < 100
+
+    s = LossSecondMomentSampler(10, history=2)
+    assert not s.warmed_up
+    t, w = s.sample(rng, 16)
+    np.testing.assert_allclose(w, 1.0)  # uniform warm-up => unit weights
+    # warm up with timestep-dependent losses: high loss at t=9
+    for _ in range(3):
+        tt = np.arange(10, dtype=np.int32)
+        s.update(tt, np.where(tt == 9, 10.0, 0.1))
+    assert s.warmed_up
+    p = s.weights()
+    assert p[9] > p[0] * 5  # importance concentrates on the lossy timestep
+    t, w = s.sample(rng, 4096)
+    assert (t == 9).mean() > 0.3
+    # unbiasedness: exact expectation E_p[1/(T p)] == 1; the empirical mean carries
+    # Monte-Carlo error, so compare statistically
+    assert np.sum(p * (1 / (10 * p))) == pytest.approx(1.0, abs=1e-12)
+    assert float(np.mean(w)) == pytest.approx(1.0, abs=0.15)
+
+
+def test_trainer_with_loss_aware_sampler():
+    from diffsim_tpu.train.timestep_sampler import LossSecondMomentSampler
+
+    cfg = TrainConfig(image_size=16, model="DiT-S/2", global_batch=8, lr=1e-3)
+    trainer = DiTTrainer(
+        cfg,
+        dit_cfg=dit.DiTConfig.tiny(input_size=8, learn_sigma=True, num_classes=10),
+        vae_cfg=vae.VAEConfig.tiny(),
+        timestep_sampler=LossSecondMomentSampler(1000, history=1),
+    )
+    rng = np.random.default_rng(0)
+    pixels = rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 10, (8,)).astype(np.int32)
+    m = trainer.train_step(pixels, labels, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    assert int(trainer.timestep_sampler._counts.sum()) == 8  # history updated host-side
