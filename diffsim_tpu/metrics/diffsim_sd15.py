@@ -131,33 +131,65 @@ class DiffSimSD15:
             self._prompt_cache[prompt] = np.asarray(jax.device_get(embeds))
         return self._prompt_cache[prompt]
 
+    def _embeds_and_idx(self, prompts):
+        """Unique-prompt embedding table (U,2,77,hid) + per-item int32 index. Benchmarks reuse
+        a handful of prompts across thousands of comparisons; uploading the unique table plus
+        indices replaces a per-batch (P,2,77,hid) host stack + upload."""
+        uniq, index, idx = [], {}, []
+        for p in prompts:
+            if p not in index:
+                index[p] = len(uniq)
+                uniq.append(self.encode_prompt(p))
+            idx.append(index[p])
+        return np.stack(uniq), np.asarray(idx, np.int32)
+
+    @functools.lru_cache(maxsize=256)
+    def _noise_consts(self, target_step: int, seed: int):
+        """Device-resident (noise_sab, key) per (step, seed): tiny per-call uploads have
+        multi-ms latency on the host<->device relay and add up across queued batches."""
+        spec = schedulers.sd15_noise_spec(target_step)
+        sab = (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b))
+        return sab, jax.random.PRNGKey(int(seed))
+
     # ------------------------------------------------------------------
     # the fused scoring graph
     # ------------------------------------------------------------------
 
     @functools.lru_cache(maxsize=32)
     def _score_fn(self, tap: TapSpec, similarity: str, ip_enabled: bool = False,
-                  use_mask: bool = False):
+                  use_mask: bool = False, inject_noise: bool = False):
         unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
         cfg_parity = self.cfg_parity
         latent_c = vae_cfg.latent_channels
         down = vae_cfg.downscale
 
-        def fn(params, pix, embeds, ip_uncond, masks, noise_sab, key):
-            # pix (P,2,H,W,3); embeds (P,2,77,hidden) [neg,pos] per pair; noise_sab = (model_t, a, b)
+        def fn(params, pix_a, pix_b, embeds_u, pidx, ip_uncond, masks, noise_sab, key):
+            # pix_a/pix_b (P,H,W,3) — uploaded as separate role arrays so the host never
+            # materializes a stacked batch (a 56 MB np.stack costs ~1.8 s on this 1-core
+            # host, more than the whole device compute); the interleave happens on device.
+            # embeds_u (U,2,77,hidden) unique [neg,pos] embeds; pidx (P,) prompt index.
             model_t, a, b = noise_sab
-            P, two, H, W, _ = pix.shape
+            P, H, W, _ = pix_a.shape
             h, w = H // down, W // down
 
+            pix = jnp.concatenate([pix_a, pix_b], axis=0)  # (2P,H,W,3) role-major
             if pix.dtype == jnp.uint8:
                 # transport-optimized path: pixels travel as uint8 (4x less relay traffic),
                 # the [-1, 1] mapping is fused into the graph
                 pix = (pix.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
-            moments = vae.encoder_apply_chunked(params["vae"], pix.reshape(P * 2, H, W, 3))
-            moments = moments.reshape(P, 2, h, w, 2 * latent_c)
+            moments = vae.encoder_apply_chunked(params["vae"], pix)
+            # (2P,h,w,2C) role-major -> (P,2,h,w,2C) pair-major (tiny device transpose)
+            moments = moments.reshape(2, P, h, w, 2 * latent_c).transpose(1, 0, 2, 3, 4)
+            embeds = embeds_u[pidx]  # (P,2,seq,hid)
             # reference draw order per pair: vae_A, vae_B, noise_A, noise_B — one seeded
             # stream reused for every pair (the generator is reseeded per call)
-            if self.vae_mode:
+            if inject_noise:
+                # cross-framework parity mode: ``key`` carries explicit role noise
+                # (eps_vae (2,h,w,C), eps_n (2,h,w,C)) shared by both frameworks
+                # (SURVEY.md "PRNG parity")
+                eps_vae, eps_n = (e[None] for e in key)
+                z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, noise=eps_vae)
+            elif self.vae_mode:
                 z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, mode=True)
             else:
                 eps_vae = jnp.stack(
@@ -168,12 +200,13 @@ class DiffSimSD15:
                 )[None]
                 z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, noise=eps_vae)
 
-            eps_n = jnp.stack(
-                [
-                    jax.random.normal(prng.role_key(key, prng.NOISE_A), (h, w, latent_c)),
-                    jax.random.normal(prng.role_key(key, prng.NOISE_B), (h, w, latent_c)),
-                ]
-            )[None]
+            if not inject_noise:
+                eps_n = jnp.stack(
+                    [
+                        jax.random.normal(prng.role_key(key, prng.NOISE_A), (h, w, latent_c)),
+                        jax.random.normal(prng.role_key(key, prng.NOISE_B), (h, w, latent_c)),
+                    ]
+                )[None]
             x = (a * z.astype(jnp.float32) + b * eps_n).astype(z.dtype)
 
             seq, hid = embeds.shape[-2:]
@@ -192,9 +225,9 @@ class DiffSimSD15:
                 # IP-Adapter image embeds from the scored images themselves (the reference
                 # passes ip_A = A, /root/reference/diffsim/diffsim.py:115-117); the uncond
                 # half uses the zero-image embedding, as diffusers' encode_image does
-                cond = self._ip_embed(params, pix.reshape(P * 2, H, W, 3))
+                cond = self._ip_embed(params, pix)  # (2P,...) role-major
                 t_tok, d_tok = cond.shape[-2:]
-                cond = cond.reshape(P, 2, t_tok, d_tok)
+                cond = cond.reshape(2, P, t_tok, d_tok).transpose(1, 0, 2, 3)
                 if cfg_parity:
                     u = jnp.broadcast_to(ip_uncond, cond.shape)
                     inter = jnp.stack([u, cond], axis=2)  # (P, img, [uncond|cond], T, D)
@@ -247,34 +280,32 @@ class DiffSimSD15:
             rs = meshlib.replicated(self.mesh)
             return jax.jit(
                 fn,
-                in_shardings=(rs, ds, ds, rs, rs, rs, rs),
+                in_shardings=(rs, ds, ds, rs, ds, rs, rs, rs, rs),
                 out_shardings=ds,
-                donate_argnums=(1,),
             )
-        return jax.jit(fn, donate_argnums=(1,))
+        return jax.jit(fn)
 
 
     @functools.lru_cache(maxsize=32)
-    def _triplet_fn(self, tap: TapSpec, similarity: str):
-        """Triplet-fused variant of the scoring graph for the benchmarks' 2AFC structure:
-        sim(A,B) and sim(A,C) share image A's VAE encode, noising and UNet forwards exactly
-        (the reference reseeds its generator per call, so A's draws are identical in both
-        pairs — /root/reference/diffsim/diffsim.py:109-169). 3 images / 6 CFG forwards per
-        triplet instead of 4 / 8: ~25% less compute and host->device traffic."""
+    def _triplet_body(self, tap: TapSpec, similarity: str):
+        """Unjitted per-chunk body of the triplet-fused scoring graph (see _triplet_fn)."""
         unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
         cfg_parity = self.cfg_parity
         latent_c = vae_cfg.latent_channels
         down = vae_cfg.downscale
 
-        def fn(params, pix, embeds, noise_sab, key):
-            # pix (T, 3, H, W, C): [a, b, c]; embeds (T, 2, 77, hidden) [neg, pos]
+        def fn(params, pix_a, pix_b, pix_c, embeds_u, pidx, noise_sab, key):
+            # pix_a/b/c (T,H,W,3) separate role arrays (no host-side stacking — see _score_fn);
+            # embeds_u (U,2,77,hidden) unique [neg,pos] embeds; pidx (T,) prompt index
             model_t, a, b = noise_sab
-            T, three, H, W, _ = pix.shape
+            T, H, W, _ = pix_a.shape
             h, w = H // down, W // down
+            pix = jnp.concatenate([pix_a, pix_b, pix_c], axis=0)  # (3T,H,W,3) role-major
             if pix.dtype == jnp.uint8:
                 pix = (pix.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
-            moments = vae.encoder_apply_chunked(params["vae"], pix.reshape(T * 3, H, W, 3))
-            moments = moments.reshape(T, 3, h, w, 2 * latent_c)
+            moments = vae.encoder_apply_chunked(params["vae"], pix)
+            moments = moments.reshape(3, T, h, w, 2 * latent_c).transpose(1, 0, 2, 3, 4)
+            embeds = embeds_u[pidx]  # (T,2,seq,hid)
             # roles: A keeps its draws; B and C each play "image B" of their own pair
             eps_a = jax.random.normal(prng.role_key(key, prng.VAE_A), (h, w, latent_c))
             eps_b = jax.random.normal(prng.role_key(key, prng.VAE_B), (h, w, latent_c))
@@ -317,12 +348,50 @@ class DiffSimSD15:
             )
             return s_ab, s_ac
 
+        return fn
+
+    @functools.lru_cache(maxsize=32)
+    def _triplet_fn(self, tap: TapSpec, similarity: str):
+        """Triplet-fused variant of the scoring graph for the benchmarks' 2AFC structure:
+        sim(A,B) and sim(A,C) share image A's VAE encode, noising and UNet forwards exactly
+        (the reference reseeds its generator per call, so A's draws are identical in both
+        pairs — /root/reference/diffsim/diffsim.py:109-169). 3 images / 6 CFG forwards per
+        triplet instead of 4 / 8: ~25% less compute and host->device traffic."""
+        fn = self._triplet_body(tap, similarity)
         if self.mesh is not None:
             ds = meshlib.data_sharding(self.mesh)
             rs = meshlib.replicated(self.mesh)
-            return jax.jit(fn, in_shardings=(rs, ds, ds, rs, rs),
-                           out_shardings=(ds, ds), donate_argnums=(1,))
-        return jax.jit(fn, donate_argnums=(1,))
+            return jax.jit(fn, in_shardings=(rs, ds, ds, ds, rs, ds, rs, rs),
+                           out_shardings=(ds, ds))
+        return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=32)
+    def _triplet_scan_fn(self, tap: TapSpec, similarity: str):
+        """lax.scan over fixed-size chunks of triplets inside ONE jitted program.
+
+        The host<->device relay in this environment charges ~0.5 s of latency per program
+        launch and per device_get; scanning N chunks in one launch amortizes that to once per
+        window (pixels live in HBM as uint8 and are normalized chunk-by-chunk inside the
+        scan, so peak activation memory stays at chunk size). Scores match N separate
+        _triplet_fn calls up to XLA fusion-order rounding (~1e-7 in fp32): every pair sees
+        the same seed-derived role noise."""
+        body = self._triplet_body(tap, similarity)
+
+        def fn(params, pix_a, pix_b, pix_c, embeds_u, pidx, noise_sab, key):
+            # pix_* (N, chunk, H, W, 3); pidx (N, chunk) -> (N, chunk) score pairs
+            def step(_, xs):
+                a_, b_, c_, idx = xs
+                return None, body(params, a_, b_, c_, embeds_u, idx, noise_sab, key)
+
+            _, out = jax.lax.scan(step, None, (pix_a, pix_b, pix_c, pidx))
+            return out
+
+        if self.mesh is not None:
+            cs = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec(None, "data"))
+            rs = meshlib.replicated(self.mesh)
+            return jax.jit(fn, in_shardings=(rs, cs, cs, cs, rs, cs, rs, rs),
+                           out_shardings=(cs, cs))
+        return jax.jit(fn)
 
     def score_triplet_batch(
         self,
@@ -338,35 +407,49 @@ class DiffSimSD15:
         seed: int = 2333,
         fix_layer_collapse: bool = False,
         blocking: bool = True,
+        chunk: int | None = None,
     ):
         """(s_ab, s_ac) for T 2AFC triplets — numerically identical to two score_batch calls,
-        sharing A's work. Returns the two (T,) arrays (or a fetch callable)."""
+        sharing A's work. Returns the two (T,) arrays (or a fetch callable).
+
+        ``chunk``: process the batch as T//chunk scan steps of ``chunk`` triplets inside one
+        jitted program — one launch + one fetch for the whole batch (the relay charges ~0.5 s
+        latency per launch/fetch), with peak activation memory bounded by the chunk size.
+        Matches the unchunked path up to XLA fusion-order float rounding."""
         tap = sd15_tap(target_block, target_layer, False, fix_layer_collapse)
-        spec = schedulers.sd15_noise_spec(target_step)
         T = pix_a.shape[0]
         transport = np.uint8 if pix_a.dtype == np.uint8 else self.dtype
-        pix = np.stack([pix_a, pix_b, pix_c], axis=1).astype(transport)
+        roles = [np.asarray(p).astype(transport, copy=False) for p in (pix_a, pix_b, pix_c)]
         prompts = [prompt] * T if isinstance(prompt, str) else list(prompt)
         pad = 0
         if self.mesh is not None:
-            target = meshlib.pad_to_multiple(T, meshlib.data_axis_size(self.mesh))
+            quantum = meshlib.data_axis_size(self.mesh)
+            if chunk is not None:
+                assert chunk % quantum == 0, (chunk, quantum)
+                quantum = chunk
+            target = meshlib.pad_to_multiple(T, quantum)
             pad = target - T
             if pad:
-                pix = np.concatenate([pix, np.repeat(pix[-1:], pad, 0)], axis=0)
+                roles = [np.concatenate([r, np.repeat(r[-1:], pad, 0)], axis=0) for r in roles]
                 prompts = prompts + [prompts[-1]] * pad
-        embeds = np.stack([self.encode_prompt(p) for p in prompts])
-        fn = self._triplet_fn(tap, similarity)
-        s_ab, s_ac = fn(
-            self.params,
-            jnp.asarray(pix),
-            embeds,
-            (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
-            jax.random.PRNGKey(int(seed)),
-        )
+        embeds_u, pidx = self._embeds_and_idx(prompts)
+        sab, key = self._noise_consts(int(target_step), int(seed))
+        n = len(prompts)
+        if chunk is not None and n % chunk == 0 and n > chunk:
+            shape = (n // chunk, chunk)
+            fn = self._triplet_scan_fn(tap, similarity)
+            s_ab, s_ac = fn(
+                self.params,
+                *(r.reshape(shape + r.shape[1:]) for r in roles),
+                embeds_u, pidx.reshape(shape), sab, key,
+            )
+        else:
+            fn = self._triplet_fn(tap, similarity)
+            s_ab, s_ac = fn(self.params, roles[0], roles[1], roles[2], embeds_u, pidx, sab, key)
 
         def fetch():
-            out_ab = np.asarray(jax.device_get(s_ab), np.float32)
-            out_ac = np.asarray(jax.device_get(s_ac), np.float32)
+            out_ab, out_ac = (np.asarray(o, np.float32).reshape(-1)
+                              for o in jax.device_get((s_ab, s_ac)))
             return (out_ab[:T], out_ac[:T]) if pad else (out_ab, out_ac)
 
         return fetch() if blocking else fetch
@@ -478,18 +561,22 @@ class DiffSimSD15:
         blocking: bool = True,
         mask_a: np.ndarray | None = None,
         mask_b: np.ndarray | None = None,
+        noise_override: tuple | None = None,
     ):
         """Score P pairs. pix_a/pix_b: (P, H, W, 3) float32 in [-1, 1] (see core.image).
         ``prompt`` is one string for all pairs or a list of P per-pair strings.
 
         ``blocking=False`` returns a zero-arg callable that fetches the (P,) scores — the
         dispatch is asynchronous, so callers can overlap the next batch's host work (decode,
-        upload) with this batch's device compute."""
+        upload) with this batch's device compute.
+
+        ``noise_override``: (eps_vae, eps_noise), each (2, h, w, latent_c) per-role arrays
+        replacing the seed-derived draws — the cross-framework parity mode where torch and
+        JAX consume identical noise (SURVEY.md "PRNG parity")."""
         tap = sd15_tap(target_block, target_layer, ip_adapter, fix_layer_collapse)
-        spec = schedulers.sd15_noise_spec(target_step)
         P = pix_a.shape[0]
         transport_dtype = np.uint8 if pix_a.dtype == np.uint8 else self.dtype
-        pix = np.stack([pix_a, pix_b], axis=1).astype(transport_dtype)
+        roles = [np.asarray(p).astype(transport_dtype, copy=False) for p in (pix_a, pix_b)]
         prompts = [prompt] * P if isinstance(prompt, str) else list(prompt)
         assert len(prompts) == P, (len(prompts), P)
         pad = 0
@@ -497,10 +584,10 @@ class DiffSimSD15:
             target = meshlib.pad_to_multiple(P, meshlib.data_axis_size(self.mesh))
             pad = target - P
             if pad:
-                pix = np.concatenate([pix, np.repeat(pix[-1:], pad, 0)], axis=0)
+                roles = [np.concatenate([r, np.repeat(r[-1:], pad, 0)], axis=0) for r in roles]
                 prompts = prompts + [prompts[-1]] * pad
-        embeds = np.stack([self.encode_prompt(p) for p in prompts])
-        key = jax.random.PRNGKey(int(seed))
+        embeds_u, pidx = self._embeds_and_idx(prompts)
+        sab, key = self._noise_consts(int(target_step), int(seed))
         if ip_adapter and self._ip is None:
             self.enable_ip_adapter()
         ip_enabled = bool(ip_adapter and self._ip is not None)
@@ -511,17 +598,13 @@ class DiffSimSD15:
                 masks = np.concatenate([masks, np.repeat(masks[-1:], pad, 0)], axis=0)
         else:
             masks = np.zeros((1, 2, 1, 1), np.float32)
-        fn = self._score_fn(tap, similarity, ip_enabled, use_mask)
+        if noise_override is not None:
+            key = tuple(jnp.asarray(e, jnp.float32) for e in noise_override)
+        fn = self._score_fn(tap, similarity, ip_enabled, use_mask,
+                            inject_noise=noise_override is not None)
         ip_uncond = jnp.asarray(self._ip_uncond) if ip_enabled else jnp.zeros((1, 1, 1), self.dtype)
-        scores = fn(
-            self.params,
-            jnp.asarray(pix),
-            embeds,
-            ip_uncond,
-            jnp.asarray(masks),
-            (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
-            key,
-        )
+        scores = fn(self.params, roles[0], roles[1], embeds_u, pidx, ip_uncond,
+                    jnp.asarray(masks), sab, key)
 
         def fetch():
             out = np.asarray(jax.device_get(scores), np.float32)
@@ -548,30 +631,23 @@ class DiffSimSD15:
             target_layer = target_layer[0]
         base = sd15_tap(target_block, int(target_layer), fix_layer_collapse=True)
         tap = TapSpec(base.block, base.address, "attn1", OUTPUT)
-        spec = schedulers.sd15_noise_spec(target_step)
         P = pix_a.shape[0]
         transport_dtype = np.uint8 if pix_a.dtype == np.uint8 else self.dtype
-        pix = np.stack([pix_a, pix_b], axis=1).astype(transport_dtype)
+        roles = [np.asarray(p).astype(transport_dtype, copy=False) for p in (pix_a, pix_b)]
         prompts = [prompt] * P if isinstance(prompt, str) else list(prompt)
         pad = 0
         if self.mesh is not None:
             target = meshlib.pad_to_multiple(P, meshlib.data_axis_size(self.mesh))
             pad = target - P
             if pad:
-                pix = np.concatenate([pix, np.repeat(pix[-1:], pad, 0)], axis=0)
+                roles = [np.concatenate([r, np.repeat(r[-1:], pad, 0)], axis=0) for r in roles]
                 prompts = prompts + [prompts[-1]] * pad
-        embeds = np.stack([self.encode_prompt(p) for p in prompts])
-        key = jax.random.PRNGKey(int(seed))
+        embeds_u, pidx = self._embeds_and_idx(prompts)
+        sab, key = self._noise_consts(int(target_step), int(seed))
         fn = self._score_fn(tap, similarity)
-        scores = fn(
-            self.params,
-            jnp.asarray(pix),
-            embeds,
-            jnp.zeros((1, 1, 1), self.dtype),
-            jnp.zeros((1, 2, 1, 1), np.float32),
-            (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
-            key,
-        )
+        scores = fn(self.params, roles[0], roles[1], embeds_u, pidx,
+                    jnp.zeros((1, 1, 1), self.dtype), jnp.zeros((1, 2, 1, 1), np.float32),
+                    sab, key)
         out = np.asarray(jax.device_get(scores), np.float32)
         return out[:P] if pad else out
 

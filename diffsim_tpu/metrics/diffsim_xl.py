@@ -260,8 +260,8 @@ class DiffSimXL(ScorerBase):
             ds = meshlib.data_sharding(self.mesh)
             rs = meshlib.replicated(self.mesh)
             return jax.jit(fn, in_shardings=(rs, ds, ds, ds, rs, rs),
-                           out_shardings=(ds, ds), donate_argnums=(1,))
-        return jax.jit(fn, donate_argnums=(1,))
+                           out_shardings=(ds, ds))
+        return jax.jit(fn)
 
     def score_batch(
         self,

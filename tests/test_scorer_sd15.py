@@ -210,3 +210,34 @@ def test_triplet_path_bit_identical_to_pairs(scorer):
     s_ab, s_ac = scorer.score_triplet_batch(a, b, c, target_step=600, prompt="p")
     np.testing.assert_array_equal(s_ab, scorer.score_batch(a, b, target_step=600, prompt="p"))
     np.testing.assert_array_equal(s_ac, scorer.score_batch(a, c, target_step=600, prompt="p"))
+
+
+def test_triplet_scan_chunks_match_plain(scorer):
+    """chunk= scans T//chunk chunks in one jitted program (one relay launch/fetch per batch);
+    scores must match the per-batch path up to XLA fusion-order rounding."""
+    a, b, c = _pix(40, 6), _pix(41, 6), _pix(42, 6)
+    s_ab, s_ac = scorer.score_triplet_batch(a, b, c, target_step=600, prompt="p")
+    t_ab, t_ac = scorer.score_triplet_batch(a, b, c, target_step=600, prompt="p", chunk=2)
+    np.testing.assert_allclose(s_ab, t_ab, atol=2e-6)
+    np.testing.assert_allclose(s_ac, t_ac, atol=2e-6)
+
+
+def test_scores_invariant_across_mesh_sizes():
+    """Scaling evidence (virtual CPU mesh): the same pairs score identically on meshes of
+    1, 2, 4 and 8 devices — the sharded graph is a pure data-parallel decomposition."""
+    kwargs = dict(
+        unet_cfg=unet.UNetConfig.tiny(),
+        vae_cfg=vae.VAEConfig.tiny(),
+        text_cfg=clip_text.CLIPTextConfig.tiny(),
+        img_size=32,
+        dtype=np.float32,
+    )
+    a, b = _pix(50, n=8), _pix(51, n=8)
+    ref = None
+    for n in (1, 2, 4, 8):
+        mesh = meshlib.make_mesh(n) if n > 1 else None
+        s = DiffSimSD15(mesh=mesh, **kwargs).score_batch(a, b, target_step=600)
+        if ref is None:
+            ref = s
+        else:
+            np.testing.assert_allclose(s, ref, atol=1e-5), n
