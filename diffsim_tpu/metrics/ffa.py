@@ -6,8 +6,10 @@ from the matted image downsampled to the 24x24 patch grid -> masked mean over pa
 cosine. The reference's matting engine is carvekit (TracerB7+FBA) — a torch-only stack we
 cannot port faithfully (SURVEY.md §7 step 8 flags this); the matting hook here is pluggable:
 
-* ``matting=None`` (default): a border-statistics heuristic (pixels close to the median border
-  color are background) — documented divergence, same downstream math;
+* ``matting=U2NetMatting(params)``: a real salient-object matting net (U^2-Net,
+  models/u2net.py) — the default whenever converted u2net weights are supplied;
+* ``matting=None``: a border-statistics heuristic (pixels close to the median border color are
+  background) — weight-free fallback, fails when the object touches the border;
 * ``matting=callable``: a user-supplied ``PIL -> RGBA PIL`` (e.g. wrapping carvekit outputs);
 * precomputed RGBA images can be fed straight into ``score_batch_rgba``.
 """
@@ -27,6 +29,35 @@ from diffsim_tpu.parallel import mesh as meshlib
 
 _SIZE = 336
 _GRID = 24  # 336 / 14
+
+
+class U2NetMatting:
+    """Model-based alpha matting: U^2-Net saliency, thresholded to a hard alpha (the FFA
+    pipeline derives its patch mask from exactly-zeroed background pixels, so a binary matte
+    matches the carvekit-style input the reference feeds it)."""
+
+    def __init__(self, params, cfg=None, *, size: int = 320, threshold: float = 0.5,
+                 dtype=jnp.float32):
+        from diffsim_tpu.models import u2net
+
+        self.cfg = cfg or u2net.U2NetConfig.u2netp()
+        self.size = size
+        self.threshold = threshold
+        self.params = jax.device_put(params, jax.devices()[0])
+        self._fn = jax.jit(
+            lambda p, x: u2net.apply(p, ((x / 255.0) - IMAGENET_MEAN) / IMAGENET_STD, self.cfg)
+        )
+
+    def __call__(self, image: Image.Image) -> Image.Image:
+        rgb = image.convert("RGB")
+        small = np.asarray(rgb.resize((self.size, self.size), Image.BILINEAR), np.float32)
+        pred = np.asarray(self._fn(self.params, jnp.asarray(small)[None]))[0]
+        lo, hi = float(pred.min()), float(pred.max())
+        pred = (pred - lo) / (hi - lo + 1e-8)  # the published inference normalization
+        alpha = Image.fromarray((pred >= self.threshold).astype(np.uint8) * 255, "L")
+        alpha = alpha.resize(rgb.size, Image.BILINEAR)
+        rgba = np.dstack([np.asarray(rgb, np.uint8), np.asarray(alpha, np.uint8)])
+        return Image.fromarray(rgba, "RGBA")
 
 
 def heuristic_matting(image: Image.Image, threshold: float = 60.0) -> Image.Image:
