@@ -4,10 +4,53 @@ plus framework extensions (batching, mesh, weights, resume)."""
 from __future__ import annotations
 
 import argparse
+import sys
+
+# The reference's blessed per-benchmark hyperparameters, verbatim from its launcher scripts
+# (/root/reference/cute_main.sh:3, night_main.sh:3, style_main.sh:4,7, tid_main.sh:3,
+# ipref_main.sh:4, dreambench_main.sh:3). ``--preset X`` expands to these flags; any flag the
+# user passes explicitly wins (presets are prepended, argparse keeps the last occurrence).
+PRESETS = {
+    "cute": "--image_size 512 --target_block up_blocks --target_layer 0 --target_step 600"
+            " --similarity cosine --seed 2334 --metric diffsim",
+    "nights": "--image_size 512 --target_block up_blocks --target_layer 0 --target_step 500"
+              " --similarity cosine --seed 2334 --metric diffsim",
+    "sref": "--target_block up_blocks --target_layer 0 --target_step 900"
+            " --similarity cosine --seed 2334 --metric diffsim",
+    "instantstyle": "--target_block up_blocks --target_layer 0 --target_step 900"
+                    " --similarity cosine --seed 2334 --metric diffsim",
+    "tid": "--target_block up_blocks --target_layer 0 --target_step 900"
+           " --similarity cosine --seed 2334 --metric diffsim",
+    "ipref": "--target_block up_blocks --target_layer 5 --target_step 750"
+             " --similarity cosine --seed 2334 --metric diffsim",
+    "dreambench": "--target_block up_blocks --target_layer 0 --target_step 750"
+                  " --similarity cosine --seed 2334 --metric diffsim",
+}
+
+
+def expand_preset(argv):
+    """Replace ``--preset NAME`` with the canonical reference flag set (prepended, so explicit
+    flags in argv override the preset's values)."""
+    argv = list(argv)
+    if "--preset" not in argv:
+        return argv
+    i = argv.index("--preset")
+    try:
+        name = argv[i + 1]
+    except IndexError:
+        raise SystemExit("--preset requires a name: " + "|".join(sorted(PRESETS)))
+    if name not in PRESETS:
+        raise SystemExit(f"unknown preset {name!r}; choose from {'|'.join(sorted(PRESETS))}")
+    del argv[i:i + 2]
+    return PRESETS[name].split() + argv
 
 
 def arg_parse(argv=None):
+    argv = expand_preset(sys.argv[1:] if argv is None else argv)
     parser = argparse.ArgumentParser(description="diffsim-tpu benchmark driver")
+    parser.add_argument("--preset", type=str, choices=sorted(PRESETS), default=None,
+                        help="Expand the reference's blessed flag set for a benchmark "
+                             "(consumed before parsing; explicit flags override)")
     # --- reference-compatible surface ---
     parser.add_argument("--image_path", type=str, help="Path to image folder")
     parser.add_argument("--original_path", type=str, default=None, help="Path to original images for ipref")
@@ -24,7 +67,16 @@ def arg_parse(argv=None):
     parser.add_argument("--similarity", type=str, choices=["cosine", "mse"], default="mse")
     parser.add_argument("--prompt", type=str, default="High quality image")
     parser.add_argument("--ip_adapter", action="store_true")
-    parser.add_argument("--use_mask", action="store_true")
+    parser.add_argument("--use_mask", action="store_true",
+                        help="Weight tapped queries by foreground masks (the reference's SAM "
+                             "path, metrics/diffeats.py:75-87) — masks are precomputed, see "
+                             "--mask_path")
+    parser.add_argument("--mask_path", type=str, default=None,
+                        help="Root of a directory tree mirroring --image_path with one "
+                             "grayscale mask image per input image (same relative path; .png "
+                             "fallback). Required with --use_mask: this build consumes "
+                             "precomputed masks instead of bundling SAM (documented "
+                             "divergence).")
     parser.add_argument("--use_text_attn", action="store_true")
     parser.add_argument("--seed", type=int, default=2333)
     # --- framework extensions ---
@@ -32,6 +84,9 @@ def arg_parse(argv=None):
     parser.add_argument("--weights", type=str, default=None, help="Converted checkpoint (.npz) path")
     parser.add_argument("--ip_weights", type=str, default=None,
                         help="Converted IP-Adapter .npz (cli.convert output of convert_ip_adapter)")
+    parser.add_argument("--matting_weights", type=str, default=None,
+                        help="Converted U^2-Net .npz (cli.convert u2net) for model-based "
+                             "matting in --metric cute; heuristic matting otherwise")
     parser.add_argument("--tokenizer_dir", type=str, default=None, help="Dir with vocab.json + merges.txt")
     parser.add_argument("--results", type=str, default=None, help="JSONL results path (enables resume)")
     parser.add_argument("--no_cfg_parity", dest="cfg_parity", action="store_false",

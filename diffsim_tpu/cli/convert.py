@@ -11,6 +11,8 @@
     python -m diffsim_tpu.cli.convert dinov1 --model dino_vits8.pth --out ...
     python -m diffsim_tpu.cli.convert vgg19  --model vgg19.pth --out ...
     python -m diffsim_tpu.cli.convert lpips  --model lpips_vgg.pth --vgg vgg16.pth --out ...
+    python -m diffsim_tpu.cli.convert u2net  --model u2netp.pth --out u2netp.npz
+                                             (matting for --metric cute, lite/full autodetected)
 """
 
 from __future__ import annotations
@@ -40,7 +42,7 @@ def _load(path: str) -> dict:
 def main(argv=None):
     ap = argparse.ArgumentParser(description="convert torch checkpoints to diffsim-tpu .npz")
     ap.add_argument("family", choices=["sd15", "sdxl", "dit", "clip", "dinov2", "dinov1",
-                                       "vgg19", "lpips"])
+                                       "vgg19", "lpips", "u2net"])
     ap.add_argument("--unet")
     ap.add_argument("--vae")
     ap.add_argument("--text")
@@ -98,6 +100,15 @@ def main(argv=None):
         tree = TI.convert_lpips(_load(args.model), vgg.VGG16_CFG)
         if "vgg" not in tree and args.vgg:
             tree["vgg"] = TI.convert_vgg_features(_load(args.vgg), vgg.VGG16_CFG)
+    elif args.family == "u2net":
+        from diffsim_tpu.convert.u2net_import import convert_u2net
+        from diffsim_tpu.models import u2net as u2net_model
+
+        sd = _load(args.model)
+        # the lite checkpoint (u2netp.pth) has 16-channel mids; detect by a stage1 mid shape
+        lite = np.asarray(sd["stage1.rebnconv1.conv_s1.weight"]).shape[0] == 16
+        cfg = u2net_model.U2NetConfig.u2netp() if lite else u2net_model.U2NetConfig.u2net()
+        tree = convert_u2net(sd, cfg)
 
     tree = DI.cast_tree(tree, dtype)
     save_params(args.out, tree)

@@ -48,18 +48,32 @@ def run_benchmark(benchmark: str, argv=None) -> runner.Report:
     mesh = make_mesh_or_none(args.num_devices)
 
     if args.metric == "ensemble":
-        scorers = []
-        for m in ("diffsim", "clip_i", "dino"):
-            ad = build_metric(_clone_args(args, metric=m), mesh)
-            scorers.append((ad.score_pairs, ad.lower_better, ad.preprocess))
+        adapters = [build_metric(_clone_args(args, metric=m), mesh)
+                    for m in ("diffsim", "clip_i", "dino")]
         return runner.run_2afc_ensemble(
-            comparisons, scorers, vote_based=rule in (runner.VOTE, runner.VOTE_GREATER),
+            comparisons, adapters, vote_based=rule in (runner.VOTE, runner.VOTE_GREATER),
             img_size=args.image_size, batch=args.batch_size, out_path=args.results,
         )
 
     adapter = build_metric(args, mesh)
     loader = ImageLoader(args.image_size, preprocess=adapter.preprocess)
     lower = adapter.lower_better or args.metric == "lpips"
+
+    mask_fn = None
+    if args.use_mask and adapter.wants_masks:
+        # the reference generates masks with SAM at score time
+        # (/root/reference/metrics/diffeats.py:75-87); this build consumes precomputed masks
+        # from a mirrored directory tree (documented divergence — no torch-only SAM bundled)
+        if not args.mask_path:
+            raise SystemExit("--use_mask requires --mask_path (precomputed mask tree)")
+        from diffsim_tpu.core.image import load_mask, mask_path_for
+
+        size = args.image_size
+
+        def mask_fn(path):
+            return load_mask(mask_path_for(path, args.image_path, args.mask_path), size)
+    elif args.use_mask:
+        print(f"[warn] --use_mask has no effect for --metric {args.metric}")
 
     from diffsim_tpu.runtime.profiling import StageTimer, trace
     import contextlib
@@ -78,6 +92,7 @@ def run_benchmark(benchmark: str, argv=None) -> runner.Report:
             out_path=args.results,
             loader=loader,
             timer=timer,
+            mask_fn=mask_fn,
         )
     if timer is not None:
         timer.report()

@@ -155,3 +155,27 @@ class ImageLoader:
 
     def close(self):
         self._pool.shutdown(wait=False)
+
+
+def load_mask(path, img_size: int) -> np.ndarray:
+    """Grayscale foreground mask -> (1, img_size, img_size) float32 in [0, 1].
+
+    Nearest-neighbor resize: masks are hard label maps (the reference's SAM output,
+    /root/reference/metrics/diffeats.py:75-87); interpolation would bleed the boundary before
+    the dilate+pool in readout.mask_to_latent."""
+    img = load_image(path).convert("L")
+    img = img.resize((img_size, img_size), resample=Image.NEAREST)
+    return (np.asarray(img, np.float32) / 255.0)[None]
+
+
+def mask_path_for(image_path: str, image_root: str, mask_root: str) -> str:
+    """Resolve the mask for an image: same relative path under ``mask_root``, falling back to
+    the same stem with a .png extension."""
+    rel = os.path.relpath(image_path, image_root)
+    cand = os.path.join(mask_root, rel)
+    if os.path.exists(cand):
+        return cand
+    alt = os.path.splitext(cand)[0] + ".png"
+    if os.path.exists(alt):
+        return alt
+    raise FileNotFoundError(f"no mask for {image_path!r} under {mask_root!r} (tried {cand!r}, {alt!r})")

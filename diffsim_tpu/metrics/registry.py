@@ -29,6 +29,7 @@ class MetricAdapter:
     lower_better: bool
     preprocess: Callable | None = None  # None => default lanczos/[-1,1] at image_size
     score_triplets: Callable | None = None
+    wants_masks: bool = False  # --use_mask supported: score_pairs accepts mask_a=/mask_b=
 
 
 def build_metric(args, mesh=None) -> MetricAdapter:
@@ -84,12 +85,12 @@ def build_metric(args, mesh=None) -> MetricAdapter:
         u8 = lambda img: process_image_u8(img, args.image_size)
 
         if name == "diffsim":
-            def score_pairs(pa, pb, prompts, blocking=True):
+            def score_pairs(pa, pb, prompts, blocking=True, mask_a=None, mask_b=None):
                 return scorer.score_batch(
                     pa, pb, prompt=prompts, target_block=args.target_block,
                     target_layer=args.target_layer, target_step=args.target_step,
                     similarity=similarity, seed=args.seed, ip_adapter=args.ip_adapter,
-                    blocking=blocking,
+                    blocking=blocking, mask_a=mask_a, mask_b=mask_b,
                 )
 
             score_triplets = None
@@ -109,7 +110,8 @@ def build_metric(args, mesh=None) -> MetricAdapter:
                 )
 
         if name == "diffsim":
-            return MetricAdapter(score_pairs, lower, preprocess=u8, score_triplets=score_triplets)
+            return MetricAdapter(score_pairs, lower, preprocess=u8, score_triplets=score_triplets,
+                                 wants_masks=bool(getattr(args, "use_mask", False)))
         return MetricAdapter(score_pairs, lower, preprocess=u8)
 
     if name == "dit":
@@ -250,9 +252,14 @@ def build_metric(args, mesh=None) -> MetricAdapter:
         return MetricAdapter(lambda pa, pb, prompts: scorer.score_batch(pa, pb), False)
 
     if name == "cute":
-        from diffsim_tpu.metrics.ffa import ForegroundFeatureAveraging
+        from diffsim_tpu.metrics.ffa import ForegroundFeatureAveraging, U2NetMatting
 
-        scorer = ForegroundFeatureAveraging(params=_load_params(getattr(args, "weights", None)), mesh=mesh)
+        matting = None
+        matting_weights = getattr(args, "matting_weights", None)
+        if matting_weights:
+            matting = U2NetMatting(_load_params(matting_weights))
+        scorer = ForegroundFeatureAveraging(params=_load_params(getattr(args, "weights", None)),
+                                            mesh=mesh, matting=matting)
         return MetricAdapter(
             lambda pa, pb, prompts: scorer.score_batch("Crop-Feat", pa, pb), False,
             preprocess=scorer.preprocess,

@@ -74,12 +74,17 @@ def run_2afc(
     loader: ImageLoader | None = None,
     print_fn=print,
     timer=None,
+    mask_fn: Callable | None = None,
 ) -> Report:
     """Score all comparisons and report accuracy.
 
     ``score_pairs(pix_a, pix_b, prompts) -> scores`` is the metric adapter; pixel arrays are
     (N, H, W, 3) in [-1, 1]. Each batch of B comparisons issues one 2B-pair scoring call
     ([(a,b)..., (a,c)...]).
+
+    ``mask_fn(image_path) -> (1, H, W)`` enables mask-weighted scoring (--use_mask): masks are
+    decoded alongside the images and passed to ``score_pairs(mask_a=, mask_b=)``; the triplet
+    fusion is bypassed (it has no mask plumbing).
     """
     log = ResultLog(out_path)
     loader = loader or ImageLoader(img_size)
@@ -89,11 +94,24 @@ def run_2afc(
     # prefetch image decode ahead of the device
     chunks = [pending[i : i + batch] for i in range(0, len(pending), batch)]
 
+    mask_pool = None
+    if mask_fn is not None:
+        import concurrent.futures as _futures
+
+        mask_pool = _futures.ThreadPoolExecutor(max_workers=8)
+
     def decode(chunk):
         futs = []
         for i in chunk:
             c = comparisons[i]
-            futs.append((loader.submit(c.a), loader.submit(c.b), loader.submit(c.c)))
+            entry = (loader.submit(c.a), loader.submit(c.b), loader.submit(c.c))
+            if mask_pool is not None:
+                entry = entry + (
+                    mask_pool.submit(mask_fn, c.a),
+                    mask_pool.submit(mask_fn, c.b),
+                    mask_pool.submit(mask_fn, c.c),
+                )
+            futs.append(entry)
         return futs
 
     inflight = []
@@ -129,20 +147,27 @@ def run_2afc(
     while inflight:
         chunk, futs = inflight.pop(0)
         with timer.stage("decode"):
-            arrs = [(fa.result(), fb.result(), fc.result()) for fa, fb, fc in futs]
+            arrs = [tuple(f.result() for f in entry) for entry in futs]
         if ci < len(chunks):
             inflight.append((chunks[ci], decode(chunks[ci])))
             ci += 1
         prompts = [comparisons[i].prompt for i in chunk]
         with timer.stage("dispatch"):
-            if score_triplets is not None:
-                pa = np.concatenate([a for a, _, _ in arrs], axis=0)
-                pb = np.concatenate([b for _, b, _ in arrs], axis=0)
-                pc = np.concatenate([c for _, _, c in arrs], axis=0)
+            if mask_fn is not None:
+                pix_a = np.concatenate([e[0] for e in arrs] * 2, axis=0)
+                pix_bc = np.concatenate([e[1] for e in arrs] + [e[2] for e in arrs], axis=0)
+                m_a = np.concatenate([e[3] for e in arrs] * 2, axis=0)
+                m_bc = np.concatenate([e[4] for e in arrs] + [e[5] for e in arrs], axis=0)
+                result = score_pairs(pix_a, pix_bc, prompts * 2, blocking=False,
+                                     mask_a=m_a, mask_b=m_bc)
+            elif score_triplets is not None:
+                pa = np.concatenate([e[0] for e in arrs], axis=0)
+                pb = np.concatenate([e[1] for e in arrs], axis=0)
+                pc = np.concatenate([e[2] for e in arrs], axis=0)
                 result = score_triplets(pa, pb, pc, prompts, blocking=False)
             else:
-                pix_a = np.concatenate([a for a, _, _ in arrs] * 2, axis=0)
-                pix_bc = np.concatenate([b for _, b, _ in arrs] + [c for _, _, c in arrs], axis=0)
+                pix_a = np.concatenate([e[0] for e in arrs] * 2, axis=0)
+                pix_bc = np.concatenate([e[1] for e in arrs] + [e[2] for e in arrs], axis=0)
                 try:
                     result = score_pairs(pix_a, pix_bc, prompts * 2, blocking=False)
                 except TypeError:
@@ -175,42 +200,111 @@ def run_2afc(
 
 def run_2afc_ensemble(
     comparisons: Sequence[Comparison],
-    scorers: Sequence[tuple[Callable, bool, Callable | None]],
+    adapters: Sequence,
     *,
     vote_based: bool = False,
     img_size: int = 512,
     batch: int = 16,
     out_path: str | None = None,
     print_fn=print,
+    timer=None,
 ) -> Report:
-    """The reference's 2-of-3 majority vote (/root/reference/cute_main.py:189-194): each
-    (score_pairs, lower_better, preprocess) entry votes b-vs-c; >= 2 votes for b counts as
-    correct (or is compared to the human vote when ``vote_based``)."""
-    all_scores = []
-    for idx, (score_pairs, _lb, preprocess) in enumerate(scorers):
-        path = f"{out_path}.m{idx}" if out_path else None
-        log = ResultLog(path)
-        loader = ImageLoader(img_size, preprocess=preprocess)
-        pending = [i for i in range(len(comparisons)) if i not in log.done]
-        for start in range(0, len(pending), batch):
-            chunk = pending[start : start + batch]
-            pa = loader.load_batch([comparisons[i].a for i in chunk] * 2)
-            pbc = loader.load_batch(
-                [comparisons[i].b for i in chunk] + [comparisons[i].c for i in chunk]
-            )
-            prompts = [comparisons[i].prompt for i in chunk] * 2
-            s = score_pairs(pa, pbc, prompts)
-            for j, i in enumerate(chunk):
-                log.record(i, s_ab=float(s[j]), s_ac=float(s[len(chunk) + j]))
-        all_scores.append(dict(log.done))
-        log.close()
+    """The reference's 2-of-3 majority vote (/root/reference/cute_main.py:189-194), run through
+    the same machinery as the single-metric path: every image of a comparison is DECODED ONCE
+    (all metric-specific preprocessors run on the one decoded PIL image), all metrics of a
+    batch are dispatched asynchronously (triplet-fused where the adapter supports it), and one
+    batch stays in flight so host decode overlaps device compute. Per-metric JSONL logs keep
+    runs resumable. ``adapters`` are MetricAdapter-like objects (score_pairs, lower_better,
+    preprocess, score_triplets)."""
+    from diffsim_tpu.core.image import load_image, process_image
+    from diffsim_tpu.runtime.profiling import StageTimer
+
+    timer = timer or StageTimer()
+    preps = [ad.preprocess or (lambda img: process_image(img, img_size)) for ad in adapters]
+
+    logs = [ResultLog(f"{out_path}.m{idx}" if out_path else None) for idx in range(len(adapters))]
+    done = set.intersection(*(set(log.done) for log in logs)) if logs else set()
+    pending = [i for i in range(len(comparisons)) if i not in done]
+    chunks = [pending[i : i + batch] for i in range(0, len(pending), batch)]
+
+    import concurrent.futures as _futures
+    import os as _os
+
+    pool = _futures.ThreadPoolExecutor(max_workers=min(32, (_os.cpu_count() or 8)))
+
+    def decode_all(path):
+        """One decode, every metric's preprocessing — (arr_m0, arr_m1, ...)."""
+        img = load_image(path)
+        return tuple(prep(img) for prep in preps)
+
+    def decode(chunk):
+        return [
+            tuple(pool.submit(decode_all, getattr(comparisons[i], role)) for role in "abc")
+            for i in chunk
+        ]
+
+    inflight = []
+    ci = 0
+    while ci < len(chunks) and len(inflight) < 2:
+        inflight.append((chunks[ci], decode(chunks[ci])))
+        ci += 1
+
+    pending_fetch = None  # (chunk, [per-metric fetch])
+
+    def drain():
+        nonlocal pending_fetch
+        if pending_fetch is None:
+            return
+        chunk_, fetches = pending_fetch
+        pending_fetch = None
+        for m, fetch in enumerate(fetches):
+            with timer.stage(f"fetch.m{m}"):
+                scores = fetch() if callable(fetch) else fetch
+            if isinstance(scores, tuple):
+                s_ab, s_ac = scores
+                for j, i in enumerate(chunk_):
+                    logs[m].record(i, s_ab=float(s_ab[j]), s_ac=float(s_ac[j]))
+            else:
+                n_ = len(chunk_)
+                for j, i in enumerate(chunk_):
+                    logs[m].record(i, s_ab=float(scores[j]), s_ac=float(scores[n_ + j]))
+
+    while inflight:
+        chunk, futs = inflight.pop(0)
+        with timer.stage("decode"):
+            arrs = [tuple(f.result() for f in triple) for triple in futs]
+        if ci < len(chunks):
+            inflight.append((chunks[ci], decode(chunks[ci])))
+            ci += 1
+        prompts = [comparisons[i].prompt for i in chunk]
+        fetches = []
+        with timer.stage("dispatch"):
+            for m, ad in enumerate(adapters):
+                pa = np.concatenate([a[m] for a, _, _ in arrs], axis=0)
+                pb = np.concatenate([b[m] for _, b, _ in arrs], axis=0)
+                pc = np.concatenate([c[m] for _, _, c in arrs], axis=0)
+                if ad.score_triplets is not None:
+                    fetches.append(ad.score_triplets(pa, pb, pc, prompts, blocking=False))
+                else:
+                    pix_a = np.concatenate([pa, pa], axis=0)
+                    pix_bc = np.concatenate([pb, pc], axis=0)
+                    try:
+                        fetches.append(ad.score_pairs(pix_a, pix_bc, prompts * 2, blocking=False))
+                    except TypeError:
+                        fetches.append(ad.score_pairs(pix_a, pix_bc, prompts * 2))
+        drain()
+        pending_fetch = (chunk, fetches)
+    drain()
+    pool.shutdown(wait=False)
 
     report = Report()
     for i, c in enumerate(comparisons):
+        if any(i not in log.done for log in logs):
+            continue
         votes = 0
-        for scores, (_, lb, _pp) in zip(all_scores, scorers):
-            rec = scores[i]
-            b_wins = rec["s_ab"] < rec["s_ac"] if lb else rec["s_ab"] > rec["s_ac"]
+        for log, ad in zip(logs, adapters):
+            rec = log.done[i]
+            b_wins = rec["s_ab"] < rec["s_ac"] if ad.lower_better else rec["s_ab"] > rec["s_ac"]
             votes += int(b_wins)
         majority_b = votes >= 2
         if vote_based:
@@ -219,6 +313,8 @@ def run_2afc_ensemble(
             ok = majority_b
         report.total += 1
         report.correct += int(ok)
+    for log in logs:
+        log.close()
     print_fn(f"Total {report.total}; Correct {report.correct}")
     print_fn(f"Accuracy: {report.accuracy}%")
     return report

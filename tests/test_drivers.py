@@ -249,3 +249,79 @@ def test_batch_size_invariance_spearman(data, tmp_path):
     sb = np.array([s for i in sorted(b) for s in b[i]])
     assert compare_results.spearman(sa, sb) == 1.0
     np.testing.assert_allclose(sa, sb, atol=1e-5)
+
+
+def test_ensemble_decodes_each_image_once(data, tmp_path, monkeypatch):
+    """The first-class ensemble path decodes every comparison image exactly once and fans the
+    decoded PIL image out to all three metric preprocessors (the round-1 path re-decoded per
+    metric: 3x the decode work)."""
+    from collections import Counter
+
+    from diffsim_tpu.core import image as image_mod
+    from diffsim_tpu.runtime import runner as runner_mod
+
+    del runner_mod  # imported for clarity: the counted path is the ensemble runner's decode
+    counts = Counter()
+    real_load = image_mod.load_image
+
+    def counting_load(path):
+        counts[path] += 1
+        return real_load(path)
+
+    monkeypatch.setattr("diffsim_tpu.core.image.load_image", counting_load)
+
+    from diffsim_tpu.cli.main import run_benchmark
+
+    rep = run_benchmark(
+        "cute",
+        [
+            "--image_path", data["cute"], "--image_size", "32", "--metric", "ensemble",
+            "--target_layer", "0", "--target_step", "600", "--similarity", "cosine",
+            "--model_scale", "tiny", "--batch_size", "8",
+        ],
+    )
+    assert rep.total == 40
+    # every decode is exactly one PIL open per (comparison, role) occurrence — never 3x
+    assert counts and max(counts.values()) <= 40 * 3  # sanity
+    total_occurrences = 40 * 3
+    assert sum(counts.values()) == total_occurrences, (sum(counts.values()), total_occurrences)
+
+
+def test_cli_use_mask_changes_scores(data, tmp_path):
+    """--use_mask with a --mask_path tree weights the tapped queries with precomputed masks
+    (the reference's SAM capability, /root/reference/metrics/diffeats.py:75-87); masked scores
+    must differ from unmasked ones on the same fixture."""
+    import json
+
+    from PIL import Image as _Image
+
+    from diffsim_tpu.cli.main import run_benchmark
+
+    # mirrored mask tree: center-square foreground for every fixture image
+    mask_root = str(tmp_path / "masks")
+    for dirpath, _dirs, files in os.walk(data["cute"]):
+        rel = os.path.relpath(dirpath, data["cute"])
+        os.makedirs(os.path.join(mask_root, rel), exist_ok=True)
+        for f in files:
+            m = np.zeros((32, 32), np.uint8)
+            m[8:24, 8:24] = 255
+            _Image.fromarray(m).save(os.path.join(mask_root, rel, f))
+
+    base_flags = [
+        "--image_path", data["cute"], "--image_size", "32", "--metric", "diffsim",
+        "--target_layer", "0", "--target_step", "600", "--similarity", "cosine",
+        "--model_scale", "tiny", "--batch_size", "8",
+    ]
+    run_benchmark("cute", base_flags + ["--results", str(tmp_path / "plain.jsonl")])
+    run_benchmark(
+        "cute",
+        base_flags + ["--use_mask", "--mask_path", mask_root,
+                      "--results", str(tmp_path / "masked.jsonl")],
+    )
+
+    def scores(p):
+        return [json.loads(line)["s_ab"] for line in open(p)]
+
+    plain, masked = scores(tmp_path / "plain.jsonl"), scores(tmp_path / "masked.jsonl")
+    assert len(plain) == len(masked) == 40
+    assert not np.allclose(plain, masked)
