@@ -208,3 +208,68 @@ def test_params_store_roundtrip(tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dino_v1_torch_golden():
+    """convert_dino_v1 + models.dinov2.apply vs a hand-built torch DINO-v1 ViT (timm layout:
+    fused qkv, pre-LN, no layerscale — /root/reference/metrics/dino.py:38-92 loads this
+    architecture from torch.hub). timm/hub are absent in this image, so the mirror is built
+    here with the published parameter naming the converter consumes."""
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    H, HEADS, LAYERS, PATCH, GRID = 32, 2, 2, 8, 4  # input 32x32 -> 4x4 grid == pos grid
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(H, eps=1e-6)
+            self.attn = nn.Module()
+            self.attn.qkv = nn.Linear(H, 3 * H)
+            self.attn.proj = nn.Linear(H, H)
+            self.norm2 = nn.LayerNorm(H, eps=1e-6)
+            self.mlp = nn.Module()
+            self.mlp.fc1 = nn.Linear(H, 2 * H)
+            self.mlp.fc2 = nn.Linear(2 * H, H)
+
+        def forward(self, x):
+            b, n, _ = x.shape
+            qkv = self.attn.qkv(self.norm1(x)).reshape(b, n, 3, HEADS, H // HEADS)
+            q, k, v = qkv.permute(2, 0, 3, 1, 4)
+            ctx = F.scaled_dot_product_attention(q, k, v)
+            x = x + self.attn.proj(ctx.transpose(1, 2).reshape(b, n, H))
+            return x + self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x))))
+
+    class Vit(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.patch_embed = nn.Module()
+            self.patch_embed.proj = nn.Conv2d(3, H, PATCH, stride=PATCH)
+            self.cls_token = nn.Parameter(torch.randn(1, 1, H) * 0.02)
+            self.pos_embed = nn.Parameter(torch.randn(1, GRID * GRID + 1, H) * 0.02)
+            self.blocks = nn.ModuleList([Block() for _ in range(LAYERS)])
+            self.norm = nn.LayerNorm(H, eps=1e-6)
+
+        def forward(self, x):
+            b = x.shape[0]
+            p = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+            x = torch.cat([self.cls_token.expand(b, -1, -1), p], dim=1) + self.pos_embed
+            for blk in self.blocks:
+                x = blk(x)
+            return self.norm(x)
+
+    torch.manual_seed(0)
+    vit = Vit().eval()
+    sd = {k: v.detach().numpy() for k, v in vit.state_dict().items()}
+    cfg = dinov2.DinoConfig(hidden=H, layers=LAYERS, heads=HEADS, intermediate=2 * H,
+                            patch=PATCH, pos_grid=GRID, layerscale=False)
+    params = TI.convert_dino_v1(sd, cfg)
+
+    rng = np.random.default_rng(0)
+    pix = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        theirs = vit(torch.from_numpy(pix.transpose(0, 3, 1, 2))).numpy()
+    out = dinov2.apply(params, jnp.asarray(pix), cfg, tap_layer=1)
+    np.testing.assert_allclose(np.asarray(out["last_hidden_state"]), theirs, rtol=1e-4, atol=1e-4)
+    # taps carry real attention inputs: (B, heads, tokens, head_dim)
+    assert out["taps"]["q"].shape == (2, HEADS, GRID * GRID + 1, H // HEADS)
