@@ -69,13 +69,14 @@ def arg_parse(argv=None):
     parser.add_argument("--ip_adapter", action="store_true")
     parser.add_argument("--use_mask", action="store_true",
                         help="Weight tapped queries by foreground masks (the reference's SAM "
-                             "path, metrics/diffeats.py:75-87) — masks are precomputed, see "
-                             "--mask_path")
+                             "path, metrics/diffeats.py:75-87). Masks come from --mask_path "
+                             "when given, else are generated at score time: U^2-Net saliency "
+                             "with --matting_weights, border-statistics heuristic otherwise.")
     parser.add_argument("--mask_path", type=str, default=None,
                         help="Root of a directory tree mirroring --image_path with one "
                              "grayscale mask image per input image (same relative path; .png "
-                             "fallback). Required with --use_mask: this build consumes "
-                             "precomputed masks instead of bundling SAM (documented "
+                             "fallback). Without it, --use_mask generates masks with the "
+                             "matting nets this build ships (SAM is torch-only; documented "
                              "divergence).")
     parser.add_argument("--use_text_attn", action="store_true")
     parser.add_argument("--seed", type=int, default=2333)
@@ -86,7 +87,8 @@ def arg_parse(argv=None):
                         help="Converted IP-Adapter .npz (cli.convert output of convert_ip_adapter)")
     parser.add_argument("--matting_weights", type=str, default=None,
                         help="Converted U^2-Net .npz (cli.convert u2net) for model-based "
-                             "matting in --metric cute; heuristic matting otherwise")
+                             "matting in --metric cute and for --use_mask mask generation; "
+                             "heuristic matting otherwise")
     parser.add_argument("--tokenizer_dir", type=str, default=None, help="Dir with vocab.json + merges.txt")
     parser.add_argument("--results", type=str, default=None, help="JSONL results path (enables resume)")
     parser.add_argument("--no_cfg_parity", dest="cfg_parity", action="store_false",

@@ -61,17 +61,31 @@ def run_benchmark(benchmark: str, argv=None) -> runner.Report:
 
     mask_fn = None
     if args.use_mask and adapter.wants_masks:
-        # the reference generates masks with SAM at score time
-        # (/root/reference/metrics/diffeats.py:75-87); this build consumes precomputed masks
-        # from a mirrored directory tree (documented divergence — no torch-only SAM bundled)
-        if not args.mask_path:
-            raise SystemExit("--use_mask requires --mask_path (precomputed mask tree)")
-        from diffsim_tpu.core.image import load_mask, mask_path_for
-
         size = args.image_size
+        if args.mask_path:
+            # precomputed masks from a mirrored directory tree
+            from diffsim_tpu.core.image import load_mask, mask_path_for
 
-        def mask_fn(path):
-            return load_mask(mask_path_for(path, args.image_path, args.mask_path), size)
+            def mask_fn(path):
+                return load_mask(mask_path_for(path, args.image_path, args.mask_path), size)
+        else:
+            # score-time mask generation (the reference's --use_mask help describes SAM-CLIP
+            # segmentation at score time, /root/reference/argprocess.py:16): U^2-Net saliency
+            # when --matting_weights is given, border-statistics heuristic otherwise
+            from diffsim_tpu.core.image import mask_from_matting
+            from diffsim_tpu.metrics.ffa import U2NetMatting, heuristic_matting
+            from diffsim_tpu.metrics.registry import _load_params
+
+            if args.matting_weights:
+                matting = U2NetMatting(_load_params(args.matting_weights))
+                print("[use_mask] generating masks with U^2-Net saliency")
+            else:
+                matting = heuristic_matting
+                print("[use_mask] generating masks with the border-statistics heuristic "
+                      "(pass --matting_weights or --mask_path for model-quality masks)")
+
+            def mask_fn(path):
+                return mask_from_matting(matting, path, size)
     elif args.use_mask:
         print(f"[warn] --use_mask has no effect for --metric {args.metric}")
 

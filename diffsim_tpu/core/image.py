@@ -168,6 +168,22 @@ def load_mask(path, img_size: int) -> np.ndarray:
     return (np.asarray(img, np.float32) / 255.0)[None]
 
 
+def mask_from_matting(matting, path, img_size: int) -> np.ndarray:
+    """Generate a foreground mask at score time: run an alpha-matting callable
+    (``metrics.ffa.U2NetMatting`` or ``heuristic_matting``; RGB PIL -> RGBA PIL) on the image
+    and binarize its alpha channel to (1, img_size, img_size) float32 in {0, 1}.
+
+    This is the generated-mask counterpart of ``load_mask``: the reference's --use_mask help
+    describes segmenting the target region at score time ("SAM-CLIP",
+    /root/reference/argprocess.py:16) before the mask-weighted queries of
+    /root/reference/metrics/diffeats.py:75-87; we substitute the matting nets this build
+    already ships (documented divergence — SAM is torch-only and never actually invoked in
+    the reference either)."""
+    rgba = np.asarray(matting(load_image(path)), np.uint8)
+    alpha = Image.fromarray(rgba[..., 3], "L").resize((img_size, img_size), Image.NEAREST)
+    return (np.asarray(alpha, np.float32) > 127.5).astype(np.float32)[None]
+
+
 def mask_path_for(image_path: str, image_root: str, mask_root: str) -> str:
     """Resolve the mask for an image: same relative path under ``mask_root``, falling back to
     the same stem with a .png extension."""

@@ -325,3 +325,93 @@ def test_cli_use_mask_changes_scores(data, tmp_path):
     plain, masked = scores(tmp_path / "plain.jsonl"), scores(tmp_path / "masked.jsonl")
     assert len(plain) == len(masked) == 40
     assert not np.allclose(plain, masked)
+
+
+def test_cli_use_mask_generates_masks(tmp_path):
+    """--use_mask WITHOUT --mask_path generates masks at score time (the reference's
+    "SAM-CLIP segment the target region first" intent, /root/reference/argprocess.py:16),
+    via the heuristic matting fallback; generated-mask scores differ from unmasked ones.
+
+    Uses its own mini CUTE tree of flat-background object images (the heuristic mattes on
+    border statistics, so the shared sinusoid fixtures would yield all-ones masks)."""
+    import json
+
+    from PIL import Image as _Image
+
+    from diffsim_tpu.cli.main import run_benchmark
+
+    root = str(tmp_path / "cute")
+    rng = np.random.default_rng(7)
+    s = 0
+    for cls in ("cat",):
+        for lvl2 in ("env_a", "env_b"):
+            for lvl3 in ("obj1", "obj2"):
+                d = os.path.join(root, cls, lvl2, lvl3)
+                os.makedirs(d, exist_ok=True)
+                for i in range(2):
+                    # flat gray background + a bright off-center object square
+                    arr = np.full((40, 40, 3), 120, np.uint8)
+                    y, x = rng.integers(4, 16, 2)
+                    arr[y : y + 18, x : x + 18] = rng.integers(200, 256, 3)
+                    s += 1
+                    _Image.fromarray(arr).save(os.path.join(d, f"im{i}.png"))
+
+    base_flags = [
+        "--image_path", root, "--image_size", "32", "--metric", "diffsim",
+        "--target_layer", "0", "--target_step", "600", "--similarity", "cosine",
+        "--model_scale", "tiny", "--batch_size", "8",
+    ]
+    run_benchmark("cute", base_flags + ["--results", str(tmp_path / "plain.jsonl")])
+    run_benchmark(
+        "cute", base_flags + ["--use_mask", "--results", str(tmp_path / "auto.jsonl")]
+    )
+
+    # the heuristic matte on these images is the object square, not all-ones
+    from diffsim_tpu.core.image import mask_from_matting
+    from diffsim_tpu.metrics.ffa import heuristic_matting
+
+    some_img = os.path.join(root, "cat", "env_a", "obj1", "im0.png")
+    m = mask_from_matting(heuristic_matting, some_img, 32)
+    assert 0.05 < m.mean() < 0.95, m.mean()
+
+    def scores(p):
+        return [json.loads(line)["s_ab"] for line in open(p)]
+
+    plain, auto = scores(tmp_path / "plain.jsonl"), scores(tmp_path / "auto.jsonl")
+    assert len(plain) == len(auto) == 20
+    assert not np.allclose(plain, auto)
+
+
+def test_cli_retrieval_rank_and_grid(tmp_path):
+    """cli.retrieval: rank writes reference-format "<name> <score>" files (best first,
+    /root/reference/retrieval_vis.py:57-67) and grid composes a [query | top-k] PNG per
+    ranking — the working replacement for the reference's import-broken retrieval_vis.py."""
+    from diffsim_tpu.cli.retrieval import grid, rank
+
+    gal = tmp_path / "gallery"
+    q = tmp_path / "queries"
+    gal.mkdir(); q.mkdir()
+    for i in range(5):
+        fixtures._img(300 + i).save(gal / f"g{i}.png")
+    # query q0 is pixel-identical to gallery image g2 -> must rank first (cosine self-sim)
+    fixtures._img(302).save(q / "q0.png")
+
+    rdir = tmp_path / "rank_clip"
+    rank([
+        "--query_path", str(q), "--gallery_path", str(gal), "--out_path", str(rdir),
+        "--metric", "clip_i", "--model_scale", "tiny", "--batch_size", "4",
+        "--image_size", "32",
+    ])
+    lines = open(rdir / "q0.txt").read().splitlines()
+    assert len(lines) == 5
+    names = [ln.split()[0] for ln in lines]
+    scores = [float(ln.split()[1]) for ln in lines]
+    assert names[0] == "g2", lines
+    assert scores == sorted(scores, reverse=True)
+
+    out = tmp_path / "grids"
+    grid([
+        "--origin_path", str(gal), "--rank_dirs", str(rdir), "--query_dir", str(q),
+        "--out_path", str(out), "--top_k", "4",
+    ])
+    assert (out / "q0.png").exists()

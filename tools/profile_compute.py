@@ -1,0 +1,130 @@
+"""Device-resident compute split of the SD-1.5 scoring graph: VAE encode vs UNet forward vs
+readout, timed separately with inputs staged in HBM (no relay transport in the timed region).
+
+Each stage is repeated K times inside ONE jitted lax.scan (a float data dependence between
+iterations stops XLA hoisting the loop-invariant body), so the ~0.5 s relay launch/fetch
+latency is paid once per stage, not once per iteration.
+
+Usage: python tools/profile_compute.py [--batch 24] [--img 512] [--reps 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def scan_timer(stage, example, reps):
+    """One jitted program running `stage` reps times with a serializing dependence; returns
+    seconds per rep (launch+fetch latency amortized across reps)."""
+
+    def program(x):
+        def step(c, _):
+            out = stage(c)
+            # serialize iterations: fold a float zero derived from out back into the carry
+            # (XLA keeps float arithmetic, so the body cannot be hoisted out of the loop)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            eps = (leaf.ravel()[0] * 0).astype(c.dtype)
+            return c + eps, leaf.ravel()[0]
+        _, outs = jax.lax.scan(step, x, None, length=reps)
+        return outs
+
+    fn = jax.jit(program)
+    np.asarray(jax.device_get(fn(example)))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(jax.device_get(fn(example)))
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=24)  # triplets
+    ap.add_argument("--img", type=int, default=512)
+    ap.add_argument("--reps", type=int, default=8)
+    args = ap.parse_args()
+
+    from diffsim_tpu.core import schedulers
+    from diffsim_tpu.metrics import readout
+    from diffsim_tpu.metrics.diffsim_sd15 import DiffSimSD15
+    from diffsim_tpu.models import unet, vae
+    from diffsim_tpu.ops.taps import QKV, TapSpec
+
+    T, IMG, REPS = args.batch, args.img, args.reps
+    scorer = DiffSimSD15(img_size=IMG)
+    params = scorer.params
+    h = IMG // 8
+    dtype = jnp.bfloat16
+    spec = schedulers.sd15_noise_spec(600)
+    tap = TapSpec("up", (1, -1, -1), "attn1", QKV)
+    cfg = scorer.unet_cfg
+
+    pix = jax.device_put(
+        (np.random.default_rng(0).standard_normal((3 * T, IMG, IMG, 3)) * 0.5).astype(np.float32)
+    ).astype(dtype)
+    jax.block_until_ready(pix)
+
+    t_vae = scan_timer(lambda x: vae.encoder_apply_chunked(params["vae"], x), pix, REPS)
+
+    x_in = jax.device_put(
+        np.random.default_rng(1).standard_normal((6 * T, h, h, 4)).astype(np.float32)
+    ).astype(dtype)
+    ctx = jax.device_put(
+        np.random.default_rng(2).standard_normal((6 * T, 77, 768)).astype(np.float32)
+    ).astype(dtype)
+    jax.block_until_ready((x_in, ctx))
+
+    def unet_stage(x):
+        _, taps = unet.apply(params["unet"], x, jnp.float32(spec.model_t), ctx, cfg, tap=tap)
+        return taps
+
+    t_unet = scan_timer(unet_stage, x_in, REPS)
+
+    taps = jax.jit(unet_stage)(x_in)
+    q = taps["q"].reshape((T, 6) + taps["q"].shape[1:])
+    k = taps["k"].reshape((T, 6) + taps["k"].shape[1:])
+    v = taps["v"].reshape((T, 6) + taps["v"].shape[1:])
+    jax.block_until_ready((q, k, v))
+
+    def readout_stage(q):
+        s_ab = readout.cross_attention_score(
+            q[:, :2], k[:, :2], v[:, :2], q[:, 2:4], k[:, 2:4], v[:, 2:4], "cosine"
+        )
+        s_ac = readout.cross_attention_score(
+            q[:, :2], k[:, :2], v[:, :2], q[:, 4:6], k[:, 4:6], v[:, 4:6], "cosine"
+        )
+        return s_ab + s_ac
+
+    t_ro = scan_timer(readout_stage, q, REPS)
+
+    # full fused triplet graph, one launch per rep (relay launch latency included; reps
+    # queued back-to-back so it is paid once, as in bench.py's async windows)
+    body = scorer._triplet_fn(tap, "cosine")
+    pa, pb, pc = (pix[i * T:(i + 1) * T] for i in range(3))
+    embeds_u, pidx = scorer._embeds_and_idx(["The photo of a benchmark"] * T)
+    sab, key2 = scorer._noise_consts(600, 2334)
+    eu, pi = jnp.asarray(embeds_u), jnp.asarray(pidx)
+    out = body(params, pa, pb, pc, eu, pi, sab, key2)
+    np.asarray(jax.device_get(out))
+    t0 = time.perf_counter()
+    outs = [body(params, pa, pb, pc, eu, pi, sab, key2) for _ in range(REPS)]
+    np.asarray(jax.device_get(outs[-1]))
+    t_full = (time.perf_counter() - t0) / REPS
+
+    pairs = 2 * T
+    print(f"batch={T} triplets ({3*T} images, {6*T} CFG UNet fwds, {pairs} pairs), reps={REPS}")
+    print(f"vae_encode : {t_vae*1e3:8.1f} ms  ({t_vae/pairs*1e3:6.2f} ms/pair)")
+    print(f"unet_fwd   : {t_unet*1e3:8.1f} ms  ({t_unet/pairs*1e3:6.2f} ms/pair)")
+    print(f"readout    : {t_ro*1e3:8.1f} ms  ({t_ro/pairs*1e3:6.2f} ms/pair)")
+    print(f"full_graph : {t_full*1e3:8.1f} ms  ({t_full/pairs*1e3:6.2f} ms/pair)")
+    print(f"sum(parts) : {(t_vae+t_unet+t_ro)*1e3:8.1f} ms")
+    print(f"compute-bound pairs/s: {pairs/t_full:.1f}")
+
+
+if __name__ == "__main__":
+    main()
