@@ -89,6 +89,11 @@ def arg_parse(argv=None):
                         help="Converted U^2-Net .npz (cli.convert u2net) for model-based "
                              "matting in --metric cute and for --use_mask mask generation; "
                              "heuristic matting otherwise")
+    parser.add_argument("--sam_weights", type=str, default=None,
+                        help="Converted SAM .npz (cli.convert sam): --use_mask generates "
+                             "masks with a center-point SAM prompt (the reference's declared "
+                             "mask source, argprocess.py:16) — takes precedence over "
+                             "--matting_weights")
     parser.add_argument("--tokenizer_dir", type=str, default=None, help="Dir with vocab.json + merges.txt")
     parser.add_argument("--results", type=str, default=None, help="JSONL results path (enables resume)")
     parser.add_argument("--no_cfg_parity", dest="cfg_parity", action="store_false",

@@ -13,6 +13,8 @@
     python -m diffsim_tpu.cli.convert lpips  --model lpips_vgg.pth --vgg vgg16.pth --out ...
     python -m diffsim_tpu.cli.convert u2net  --model u2netp.pth --out u2netp.npz
                                              (matting for --metric cute, lite/full autodetected)
+    python -m diffsim_tpu.cli.convert sam    --model sam_vit_b_01ec64.pth --out sam.npz
+                                             (--use_mask mask generation; vit_b/l/h autodetected)
 """
 
 from __future__ import annotations
@@ -42,7 +44,7 @@ def _load(path: str) -> dict:
 def main(argv=None):
     ap = argparse.ArgumentParser(description="convert torch checkpoints to diffsim-tpu .npz")
     ap.add_argument("family", choices=["sd15", "sdxl", "dit", "clip", "dinov2", "dinov1",
-                                       "vgg19", "lpips", "u2net"])
+                                       "vgg19", "lpips", "u2net", "sam"])
     ap.add_argument("--unet")
     ap.add_argument("--vae")
     ap.add_argument("--text")
@@ -109,6 +111,16 @@ def main(argv=None):
         lite = np.asarray(sd["stage1.rebnconv1.conv_s1.weight"]).shape[0] == 16
         cfg = u2net_model.U2NetConfig.u2netp() if lite else u2net_model.U2NetConfig.u2net()
         tree = convert_u2net(sd, cfg)
+    elif args.family == "sam":
+        from diffsim_tpu.convert.sam_import import convert_sam
+        from diffsim_tpu.models import sam as sam_model
+
+        sd = _load(args.model)
+        # variant autodetect from the encoder width
+        dim = np.asarray(sd["image_encoder.patch_embed.proj.weight"]).shape[0]
+        cfg = {768: sam_model.SamConfig.vit_b, 1024: sam_model.SamConfig.vit_l,
+               1280: sam_model.SamConfig.vit_h}[dim]()
+        tree = convert_sam(sd, cfg)
 
     tree = DI.cast_tree(tree, dtype)
     save_params(args.out, tree)

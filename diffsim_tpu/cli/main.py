@@ -70,19 +70,26 @@ def run_benchmark(benchmark: str, argv=None) -> runner.Report:
                 return load_mask(mask_path_for(path, args.image_path, args.mask_path), size)
         else:
             # score-time mask generation (the reference's --use_mask help describes SAM-CLIP
-            # segmentation at score time, /root/reference/argprocess.py:16): U^2-Net saliency
-            # when --matting_weights is given, border-statistics heuristic otherwise
+            # segmentation at score time, /root/reference/argprocess.py:16): SAM center-point
+            # prompt with --sam_weights, U^2-Net saliency with --matting_weights,
+            # border-statistics heuristic otherwise
             from diffsim_tpu.core.image import mask_from_matting
             from diffsim_tpu.metrics.ffa import U2NetMatting, heuristic_matting
             from diffsim_tpu.metrics.registry import _load_params
 
-            if args.matting_weights:
+            if args.sam_weights:
+                from diffsim_tpu.metrics.sam_masking import SamMasking
+
+                matting = SamMasking(_load_params(args.sam_weights))
+                print("[use_mask] generating masks with SAM (center-point prompt)")
+            elif args.matting_weights:
                 matting = U2NetMatting(_load_params(args.matting_weights))
                 print("[use_mask] generating masks with U^2-Net saliency")
             else:
                 matting = heuristic_matting
                 print("[use_mask] generating masks with the border-statistics heuristic "
-                      "(pass --matting_weights or --mask_path for model-quality masks)")
+                      "(pass --sam_weights/--matting_weights or --mask_path for "
+                      "model-quality masks)")
 
             def mask_fn(path):
                 return mask_from_matting(matting, path, size)
