@@ -47,6 +47,11 @@ def main(argv=None):
     ap.add_argument("--vae_weights", default=None, help=".npz with a 'vae' encoder tree")
     ap.add_argument("--model_scale", choices=["full", "tiny"], default="full")
     ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint every DiT block (recompute activations in backward "
+                         "— larger per-chip batch for the same HBM; numerics unchanged)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 model compute with float32 master weights/optimizer/EMA")
     args = ap.parse_args(argv)
 
     logger = create_logger(args.results_dir)
@@ -54,6 +59,7 @@ def main(argv=None):
     cfg = TrainConfig(
         image_size=args.image_size, model=args.model,
         global_batch=args.global_batch_size, seed=args.global_seed,
+        remat=args.remat, compute_dtype="bfloat16" if args.bf16 else None,
     )
     dit_cfg = None
     vae_cfg = None

@@ -21,8 +21,10 @@ from diffsim_tpu.models import sam
 
 def infer_config(params) -> sam.SamConfig:
     """Recover the SamConfig from a converted tree: encoder width/depth from the blocks,
-    the global-attention layer set and window size from the rel-pos table lengths
-    (windowed blocks store (2*window-1)-row tables, global blocks (2*grid-1))."""
+    encoder heads from the stored rel-pos head_dim, the global-attention layer set and
+    window size from the rel-pos table lengths (windowed blocks store (2*window-1)-row
+    tables, global blocks (2*grid-1)). decoder_heads is not recoverable from shapes and is
+    fixed at the published 8 (all sam_vit_* checkpoints)."""
     enc = params["image_encoder"]
     grid = np.asarray(enc["pos_embed"]).shape[0]
     dim = np.asarray(enc["pos_embed"]).shape[-1]

@@ -211,12 +211,17 @@ def apply(
     tap: TapSpec | None = None,
     train: bool = False,
     dropout_key: jax.Array | None = None,
+    remat: bool = False,
 ):
     """Forward: x (B,H,W,C) latents, t (B,) timesteps, y (B,) class labels.
 
     Returns (out, taps); out is (B,H,W,out_channels). ``tap`` address is ``(layer_idx,)`` over
     ``blocks`` (/root/reference/diffsim/diffsim_dit.py:100). With ``train=True`` labels are
-    dropped to the null class with prob ``class_dropout_prob`` (CFG training)."""
+    dropped to the null class with prob ``class_dropout_prob`` (CFG training).
+
+    ``remat=True`` wraps every DiT block in ``jax.checkpoint``: the backward pass recomputes
+    block activations instead of holding all ``depth`` of them in HBM — the TPU memory/FLOPs
+    trade that lets DiT-XL train at larger per-chip batch (numerics unchanged)."""
     b = x.shape[0]
     if jnp.ndim(t) == 0:
         t = jnp.broadcast_to(t, (b,))
@@ -229,9 +234,12 @@ def apply(
     c_emb = c_emb + p["y_embedder"][y]
 
     taps: dict = {}
+    block = _block
+    if remat:
+        block = jax.checkpoint(_block, static_argnums=(3, 4))
     for i, bp in enumerate(p["blocks"]):
         capture = tap.capture if (tap is not None and tap.block == "blocks" and tap.address[0] % cfg.depth == i) else None
-        h, tp = _block(bp, h, c_emb, cfg.heads, capture)
+        h, tp = block(bp, h, c_emb, cfg.heads, capture)
         taps.update(tp)
 
     mod = linear(p["final"]["adaLN"], silu(c_emb))

@@ -31,6 +31,9 @@ class TrainConfig:
     global_batch: int = 256
     seed: int = 0
     vae_scaling: float = 0.18215
+    # TPU memory/compute policy (the reference trains plain f32 DDP):
+    remat: bool = False  # jax.checkpoint every DiT block — activations recomputed in backward
+    compute_dtype: str | None = None  # "bfloat16": bf16 model compute, f32 master weights/opt
 
 
 class DiTTrainer:
@@ -75,13 +78,30 @@ class DiTTrainer:
         scaling = self.cfg.vae_scaling
         vae_cfg = self.vae_cfg
         optimizer = self.optimizer
+        remat = self.cfg.remat
+        compute_dtype = (
+            jnp.dtype(self.cfg.compute_dtype) if self.cfg.compute_dtype else None
+        )
 
         def loss_fn(params, latents, labels, t, t_weights, noise, dropout_key):
-            def model_fn(x, model_t):
-                out, _ = dit.apply(
-                    params, x, model_t, labels, dit_cfg, train=True, dropout_key=dropout_key
+            # mixed precision: master weights (and the loss/targets below) stay f32; the
+            # model compute runs in compute_dtype. Grads come back f32 via the cast's vjp.
+            model_params = params
+            if compute_dtype is not None:
+                model_params = jax.tree_util.tree_map(
+                    lambda a: a.astype(compute_dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                    params,
                 )
-                return out
+
+            def model_fn(x, model_t):
+                if compute_dtype is not None:
+                    x = x.astype(compute_dtype)
+                out, _ = dit.apply(
+                    model_params, x, model_t, labels, dit_cfg, train=True,
+                    dropout_key=dropout_key, remat=remat,
+                )
+                return out.astype(jnp.float32)
 
             losses = diffusion.training_losses(model_fn, latents, t, noise)
             # importance-sampling weights keep the objective unbiased under non-uniform t

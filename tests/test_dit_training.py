@@ -76,14 +76,48 @@ def test_p_sample_loop_and_ddim():
     assert np.all(np.isfinite(np.asarray(x_ddim)))
 
 
-def _tiny_trainer(mesh=None):
-    cfg = TrainConfig(image_size=16, model="DiT-S/2", global_batch=8, lr=1e-3)
+def _tiny_trainer(mesh=None, **cfg_kw):
+    cfg = TrainConfig(image_size=16, model="DiT-S/2", global_batch=8, lr=1e-3, **cfg_kw)
     return DiTTrainer(
         cfg,
         mesh=mesh,
         dit_cfg=dit.DiTConfig.tiny(input_size=8, learn_sigma=True, num_classes=10),
         vae_cfg=vae.VAEConfig.tiny(),
     )
+
+
+def test_remat_is_numerics_preserving():
+    """cfg.remat wraps every DiT block in jax.checkpoint (the TPU HBM/FLOPs trade the
+    reference's f32 DDP trainer lacks); the loss trajectory must be identical."""
+    rng = np.random.default_rng(5)
+    pixels = rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 10, (8,)).astype(np.int32)
+    losses = {}
+    for remat in (False, True):
+        trainer = _tiny_trainer(remat=remat)
+        losses[remat] = [
+            float(trainer.train_step(pixels, labels, jax.random.PRNGKey(0))["loss"])
+            for _ in range(3)
+        ]
+    np.testing.assert_allclose(losses[False], losses[True], rtol=1e-6)
+
+
+def test_bf16_compute_keeps_f32_master_state():
+    """cfg.compute_dtype='bfloat16': model compute in bf16, but params/EMA/opt stay f32
+    master copies and the loss remains finite and trainable."""
+    trainer = _tiny_trainer(compute_dtype="bfloat16")
+    rng = np.random.default_rng(6)
+    pixels = rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 10, (8,)).astype(np.int32)
+    m0 = trainer.train_step(pixels, labels, jax.random.PRNGKey(0))
+    losses = [float(trainer.train_step(pixels, labels, jax.random.PRNGKey(0))["loss"])
+              for _ in range(20)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < float(m0["loss"])  # still overfits the fixed batch
+    for leaf in jax.tree_util.tree_leaves(trainer.state["params"]):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(trainer.state["ema"]):
+        assert leaf.dtype == jnp.float32
 
 
 def test_train_step_reduces_loss_and_updates_ema():

@@ -20,25 +20,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def scan_timer(stage, example, reps):
-    """One jitted program running `stage` reps times with a serializing dependence; returns
-    seconds per rep (launch+fetch latency amortized across reps)."""
+def scan_timer(stage, args, reps):
+    """Queue `reps` identical launches back-to-back and fetch a scalar from the LAST output:
+    the single device executes enqueued programs in order, so the fetch waits for all of
+    them. One launch+fetch latency total, amortized over reps. (block_until_ready on relay
+    buffers does not reliably wait — a device_get does.)
 
-    def program(x):
-        def step(c, _):
-            out = stage(c)
-            # serialize iterations: fold a float zero derived from out back into the carry
-            # (XLA keeps float arithmetic, so the body cannot be hoisted out of the loop)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            eps = (leaf.ravel()[0] * 0).astype(c.dtype)
-            return c + eps, leaf.ravel()[0]
-        _, outs = jax.lax.scan(step, x, None, length=reps)
-        return outs
+    ``stage(*args)``: pass params and activations as ARGUMENTS, never close over device
+    arrays — closed-over arrays serialize into the HLO as literal constants, and the remote
+    compile helper rejects multi-hundred-MB uploads (HTTP 413)."""
+    fn = jax.jit(stage)
 
-    fn = jax.jit(program)
-    np.asarray(jax.device_get(fn(example)))  # compile + warm
+    def run_once():
+        outs = [fn(*args) for _ in range(reps)]
+        leaf = jax.tree_util.tree_leaves(outs[-1])[0]
+        np.asarray(jax.device_get(leaf.ravel()[0]))
+
+    run_once()  # compile + warm
     t0 = time.perf_counter()
-    np.asarray(jax.device_get(fn(example)))
+    run_once()
     return (time.perf_counter() - t0) / reps
 
 
@@ -69,7 +69,7 @@ def main():
     ).astype(dtype)
     jax.block_until_ready(pix)
 
-    t_vae = scan_timer(lambda x: vae.encoder_apply_chunked(params["vae"], x), pix, REPS)
+    t_vae = scan_timer(lambda p, x: vae.encoder_apply_chunked(p["vae"], x), (params, pix), REPS)
 
     x_in = jax.device_put(
         np.random.default_rng(1).standard_normal((6 * T, h, h, 4)).astype(np.float32)
@@ -79,19 +79,19 @@ def main():
     ).astype(dtype)
     jax.block_until_ready((x_in, ctx))
 
-    def unet_stage(x):
-        _, taps = unet.apply(params["unet"], x, jnp.float32(spec.model_t), ctx, cfg, tap=tap)
+    def unet_stage(p, x, c):
+        _, taps = unet.apply(p["unet"], x, jnp.float32(spec.model_t), c, cfg, tap=tap)
         return taps
 
-    t_unet = scan_timer(unet_stage, x_in, REPS)
+    t_unet = scan_timer(unet_stage, (params, x_in, ctx), REPS)
 
-    taps = jax.jit(unet_stage)(x_in)
+    taps = jax.jit(unet_stage)(params, x_in, ctx)
     q = taps["q"].reshape((T, 6) + taps["q"].shape[1:])
     k = taps["k"].reshape((T, 6) + taps["k"].shape[1:])
     v = taps["v"].reshape((T, 6) + taps["v"].shape[1:])
     jax.block_until_ready((q, k, v))
 
-    def readout_stage(q):
+    def readout_stage(q, k, v):
         s_ab = readout.cross_attention_score(
             q[:, :2], k[:, :2], v[:, :2], q[:, 2:4], k[:, 2:4], v[:, 2:4], "cosine"
         )
@@ -100,7 +100,7 @@ def main():
         )
         return s_ab + s_ac
 
-    t_ro = scan_timer(readout_stage, q, REPS)
+    t_ro = scan_timer(readout_stage, (q, k, v), REPS)
 
     # full fused triplet graph, one launch per rep (relay launch latency included; reps
     # queued back-to-back so it is paid once, as in bench.py's async windows)
