@@ -54,6 +54,9 @@ def main(argv=None):
                     help="bfloat16 model compute with float32 master weights/optimizer/EMA")
     args = ap.parse_args(argv)
 
+    # multi-host: under a pod coordinator this makes jax.devices() span all hosts; the mesh
+    # below is then global and each process feeds only its local slice of the batch
+    distributed = meshlib.maybe_init_distributed()
     logger = create_logger(args.results_dir)
     mesh = meshlib.make_mesh() if len(jax.devices()) > 1 else None
     cfg = TrainConfig(
@@ -82,12 +85,20 @@ def main(argv=None):
     logger.info(f"dataset: {len(data)} images, {len(data.classes)} classes")
     key = jax.random.PRNGKey(args.global_seed)
 
+    # multi-host: every process derives the same shuffled epoch order (shared seed) but
+    # decodes only its batch/nproc slice, then assembles the sharded global array host-locally
+    proc_slice = (jax.process_index(), jax.process_count()) if distributed else None
+
     steps = 0
     t0 = time.time()
     running = []
     for epoch in range(args.epochs):
         logger.info(f"beginning epoch {epoch}")
-        for pixels, labels in data.epoch_batches(args.global_batch_size):
+        for pixels, labels in data.epoch_batches(args.global_batch_size,
+                                                 process_slice=proc_slice):
+            if distributed:
+                pixels = meshlib.global_batch_from_local(mesh, pixels)
+                labels = meshlib.global_batch_from_local(mesh, labels)
             metrics = trainer.train_step(pixels, labels, key)
             running.append(float(metrics["loss"]))
             steps += 1

@@ -47,7 +47,12 @@ class ImageFolderDataset:
             for f in sorted(os.listdir(cdir)):
                 if f.lower().endswith(IMG_EXTS):
                     self.samples.append((os.path.join(cdir, f), self.class_to_idx[c]))
-        self.rng = random.Random(seed)
+        self.seed = seed
+        self._epoch = 0
+        # flips are drawn from a separate stream so they never perturb the ORDER stream —
+        # in multi-host runs every process must derive the identical shuffled epoch order
+        # from the shared seed while consuming a different number of flip draws
+        self._flip_rng = random.Random(f"{seed}-hflip")
         self._pool = _futures.ThreadPoolExecutor(max_workers=num_workers or min(32, os.cpu_count() or 8))
 
     def __len__(self):
@@ -60,17 +65,30 @@ class ImageFolderDataset:
             arr = arr[:, ::-1]
         return arr
 
-    def epoch_batches(self, batch: int, drop_last: bool = True, prefetch: int = 2):
-        """Yield (pixels_u8 (B,H,W,3), labels (B,)) with threaded decode-ahead."""
+    def epoch_batches(self, batch: int, drop_last: bool = True, prefetch: int = 2,
+                      process_slice: tuple[int, int] | None = None):
+        """Yield (pixels_u8 (B,H,W,3), labels (B,)) with threaded decode-ahead.
+
+        ``process_slice=(proc, nproc)``: multi-host mode — every process derives the same
+        global epoch order (shared seed, per-epoch stream) but decodes only its contiguous
+        batch/nproc slice of each global batch; the SPMD DistributedSampler
+        (/root/reference/DiT/train.py:165-173)."""
+        order_rng = random.Random(f"{self.seed}-order-{self._epoch}")
+        self._epoch += 1
         order = list(range(len(self.samples)))
-        self.rng.shuffle(order)
+        order_rng.shuffle(order)
         if drop_last:
             order = order[: len(order) - len(order) % batch]
         chunks = [order[i : i + batch] for i in range(0, len(order), batch)]
+        if process_slice is not None:
+            proc, nproc = process_slice
+            local = batch // nproc
+            chunks = [c[proc * local : (proc + 1) * local] for c in chunks]
 
         def submit(chunk):
             futs = [
-                self._pool.submit(self._load, self.samples[i][0], self.hflip and self.rng.random() < 0.5)
+                self._pool.submit(self._load, self.samples[i][0],
+                                  self.hflip and self._flip_rng.random() < 0.5)
                 for i in chunk
             ]
             labels = np.asarray([self.samples[i][1] for i in chunk], np.int32)

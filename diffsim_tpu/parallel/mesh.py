@@ -40,3 +40,32 @@ def data_axis_size(mesh: Mesh) -> int:
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def maybe_init_distributed() -> bool:
+    """Multi-host bring-up: ``jax.distributed.initialize()`` when launched under a multi-host
+    coordinator (JAX_COORDINATOR_ADDRESS / TPU pod env), else no-op. Replaces the reference's
+    ``dist.init_process_group("nccl")`` (/root/reference/DiT/train.py:117) — after this,
+    ``jax.devices()`` spans the pod and ``make_mesh()`` builds the global mesh. Returns True
+    if distributed mode is active (jax.process_count() > 1)."""
+    import os
+
+    if jax.process_count() > 1:
+        return True
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    return jax.process_count() > 1
+
+
+def global_batch_from_local(mesh: Mesh, local_batch):
+    """Per-process local batch -> one global jax.Array sharded over the mesh 'data' axis.
+
+    The SPMD replacement for the reference's DistributedSampler + per-rank DataLoader
+    (/root/reference/DiT/train.py:165-180): each host loads only its slice and this assembles
+    the global array without gathering pixels onto any single host. Works identically (and is
+    a plain device_put) in single-process runs, so the same trainer code serves both."""
+    ds = data_sharding(mesh)
+    local_batch = np.asarray(local_batch)
+    if jax.process_count() == 1:
+        return jax.device_put(local_batch, ds)
+    return jax.make_array_from_process_local_data(ds, local_batch)
