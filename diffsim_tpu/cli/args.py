@@ -99,6 +99,12 @@ def arg_parse(argv=None):
     parser.add_argument("--no_cfg_parity", dest="cfg_parity", action="store_false",
                         help="Drop the CFG uncond half (2x faster, not score-parity with torch)")
     parser.add_argument("--num_devices", type=int, default=None, help="Limit mesh size")
+    parser.add_argument("--shard", type=str, default=None, metavar="I/N",
+                        help="Run only comparison slice I of N (e.g. 0/4): benchmarks are "
+                             "embarrassingly parallel over comparisons, so N hosts each run "
+                             "their shard against their own chips and the per-shard JSONL "
+                             "results (--results r.jsonl becomes r.jsonl.sI-N) merge by "
+                             "concatenation")
     parser.add_argument("--model_scale", type=str, choices=["full", "tiny"], default="full",
                         help="'tiny' uses toy model configs (CPU smoke tests / CI)")
     parser.add_argument("--profile", action="store_true", help="Print a per-stage time breakdown")

@@ -42,6 +42,15 @@ def run_benchmark(benchmark: str, argv=None) -> runner.Report:
     args = arg_parse(argv)
     planner, rule = BENCHMARKS[benchmark]
     comparisons = planner(args)
+    if args.shard:
+        # multi-host scoring: host i runs comparisons i, i+N, i+2N, ... — the full plan is
+        # deterministic on every host (seeded planners), so shards are disjoint and complete
+        i, n = (int(x) for x in args.shard.split("/"))
+        assert 0 <= i < n, args.shard
+        comparisons = comparisons[i::n]
+        if args.results:
+            args.results = f"{args.results}.s{i}-{n}"
+        print(f"shard {i}/{n}: {len(comparisons)} comparisons")
     print(f"=========seed {args.seed}=========")
     print(f"Experiment on {args.target_block}, layer {args.target_layer}, timestep {args.target_step}:")
 

@@ -120,18 +120,48 @@ class ImageLoader:
     loader is the TPU-side replacement for that hot loop's host half.
     """
 
-    def __init__(self, img_size: int = 512, num_workers: int | None = None, preprocess=None):
+    def __init__(self, img_size: int = 512, num_workers: int | None = None, preprocess=None,
+                 cache_mb: int = 512):
         """``preprocess(pil_image) -> (1, H, W, C)`` overrides the default lanczos/[-1,1]
         pipeline — metric adapters with their own normalization (CLIP, DINO, ...) supply
-        theirs."""
+        theirs.
+
+        ``cache_mb``: LRU budget for preprocessed arrays keyed by path. Benchmark protocols
+        reuse images heavily across comparisons (CUTE draws 10 experiments from the same
+        class dirs; retrieval scores every query against the same gallery), and the host is
+        often a single core — decoding each unique image once is a real end-to-end win.
+        0 disables. Cached arrays are shared: treat them as read-only."""
         self.img_size = img_size
         self._preprocess = preprocess or (lambda img: process_image(img, img_size))
         if num_workers is None:
             num_workers = min(32, (os.cpu_count() or 8))
         self._pool = _futures.ThreadPoolExecutor(max_workers=num_workers)
+        import collections
+        import threading
+
+        self._cache: collections.OrderedDict[str, np.ndarray] = collections.OrderedDict()
+        self._cache_bytes = 0
+        self._cache_budget = int(cache_mb * 1e6)
+        self._cache_lock = threading.Lock()
 
     def _load(self, path) -> np.ndarray:
-        return self._preprocess(load_image(path))
+        key = os.fspath(path) if isinstance(path, (str, os.PathLike)) else None
+        if key is not None and self._cache_budget > 0:
+            with self._cache_lock:
+                hit = self._cache.get(key)
+                if hit is not None:
+                    self._cache.move_to_end(key)
+                    return hit
+        arr = self._preprocess(load_image(path))
+        if key is not None and self._cache_budget > 0:
+            with self._cache_lock:
+                if key not in self._cache:
+                    self._cache[key] = arr
+                    self._cache_bytes += arr.nbytes
+                    while self._cache_bytes > self._cache_budget and self._cache:
+                        _, old = self._cache.popitem(last=False)
+                        self._cache_bytes -= old.nbytes
+        return arr
 
     def submit(self, path) -> _futures.Future:
         return self._pool.submit(self._load, path)

@@ -415,3 +415,78 @@ def test_cli_retrieval_rank_and_grid(tmp_path):
         "--out_path", str(out), "--top_k", "4",
     ])
     assert (out / "q0.png").exists()
+
+
+def test_cli_shard_partitions_benchmark(data, tmp_path):
+    """--shard I/N runs a disjoint interleaved slice of the comparison plan (multi-host
+    scoring: the seeded planner is deterministic on every host); per-shard JSONL results
+    merge to the full run."""
+    import json
+
+    from diffsim_tpu.cli.main import run_benchmark
+
+    base = [
+        "--image_path", data["cute"], "--image_size", "32", "--metric", "diffsim",
+        "--target_layer", "0", "--target_step", "600", "--similarity", "cosine",
+        "--model_scale", "tiny", "--batch_size", "8",
+    ]
+    full = run_benchmark("cute", base + ["--results", str(tmp_path / "full.jsonl")])
+    r0 = run_benchmark("cute", base + ["--shard", "0/2", "--results", str(tmp_path / "r.jsonl")])
+    r1 = run_benchmark("cute", base + ["--shard", "1/2", "--results", str(tmp_path / "r.jsonl")])
+    assert full.total == 40 and r0.total == 20 and r1.total == 20
+    assert r0.correct + r1.correct == full.correct
+    assert os.path.exists(tmp_path / "r.jsonl.s0-2") and os.path.exists(tmp_path / "r.jsonl.s1-2")
+    # indices are per-shard-local; coverage check: each shard logged its 20
+    def recs(p):
+        return {json.loads(l)["idx"] for l in open(p)}
+    assert len(recs(tmp_path / "r.jsonl.s0-2")) == 20
+    assert len(recs(tmp_path / "r.jsonl.s1-2")) == 20
+
+
+def test_imageloader_caches_repeated_paths(tmp_path, monkeypatch):
+    """ImageLoader decodes each unique path ONCE within its LRU budget (benchmarks reuse
+    images across comparisons; retrieval reuses the whole gallery per query), and evicts
+    least-recently-used entries when over budget."""
+    from collections import Counter
+
+    from PIL import Image as _Image
+
+    from diffsim_tpu.core import image as image_mod
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"im{i}.png")
+        _Image.fromarray(np.full((8, 8, 3), 40 * i, np.uint8)).save(p)
+        paths.append(p)
+
+    counts = Counter()
+    real = image_mod.load_image
+
+    def counting(path):
+        counts[path] += 1
+        return real(path)
+
+    monkeypatch.setattr(image_mod, "load_image", counting)
+
+    loader = image_mod.ImageLoader(img_size=8)
+    batch = loader.load_batch(paths * 4)  # each path requested 4x
+    assert batch.shape[0] == 12
+    assert all(counts[p] == 1 for p in paths), counts
+    # the cached arrays are the decoded content, not stale entries
+    np.testing.assert_allclose(batch[0], batch[3])
+
+    # budget 0 disables caching
+    counts.clear()
+    nocache = image_mod.ImageLoader(img_size=8, cache_mb=0)
+    nocache.load_batch(paths * 2)
+    assert all(counts[p] == 2 for p in paths), counts
+
+    # eviction: budget of ~1 entry keeps only the most recent path
+    counts.clear()
+    entry_bytes = image_mod.process_image(real(paths[0]), 8).nbytes
+    small = image_mod.ImageLoader(img_size=8, cache_mb=entry_bytes * 1.5 / 1e6)
+    for p in paths:
+        small._load(p)
+    small._load(paths[-1])  # hit
+    small._load(paths[0])   # evicted -> re-decode
+    assert counts[paths[-1]] == 1 and counts[paths[0]] == 2, counts

@@ -1,0 +1,97 @@
+"""Scoring-service tests: HTTP surface, path + base64 inputs, cross-request micro-batching."""
+
+import base64
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from diffsim_tpu.cli.args import arg_parse
+from diffsim_tpu.cli.serve import make_server
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    paths = []
+    for i in range(4):
+        p = str(root / f"im{i}.png")
+        Image.fromarray(
+            np.random.default_rng(i).integers(0, 256, (40, 40, 3)).astype(np.uint8)
+        ).save(p)
+        paths.append(p)
+
+    args = arg_parse([
+        "--metric", "diffsim", "--model_scale", "tiny", "--image_size", "32",
+        "--target_layer", "0", "--target_step", "600", "--similarity", "cosine",
+        "--batch_size", "8",
+    ])
+    srv, batcher = make_server(args, port=0, max_wait_ms=200.0)  # port 0: ephemeral
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield {"port": srv.server_address[1], "paths": paths, "batcher": batcher}
+    srv.shutdown()
+
+
+def _post(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/score", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_serve_scores_paths_and_b64(server):
+    port, paths = server["port"], server["paths"]
+    out = _post(port, {"pairs": [[paths[0], paths[1]], [paths[2], paths[3]]],
+                       "prompt": "The photo of a thing"})
+    assert len(out["scores"]) == 2
+    assert all(np.isfinite(out["scores"]))
+
+    # the same image delivered as base64 bytes scores identically to its path
+    b64 = base64.b64encode(open(paths[1], "rb").read()).decode()
+    out2 = _post(port, {"pairs": [[paths[0], {"b64": b64}]],
+                        "prompt": "The photo of a thing"})
+    np.testing.assert_allclose(out2["scores"][0], out["scores"][0], atol=1e-5)
+
+    # healthz
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["ok"] is True and h["metric"] == "diffsim"
+
+
+def test_serve_fuses_concurrent_requests(server):
+    """Two concurrent 1-pair requests inside the batcher's wait window score in ONE device
+    call (cross-request micro-batching), and each caller gets its own score back."""
+    port, paths = server["port"], server["paths"]
+    batcher = server["batcher"]
+
+    calls = []
+    real = batcher._score
+
+    def counting(pix_a, pix_b, prompts):
+        calls.append(len(prompts))
+        return real(pix_a, pix_b, prompts)
+
+    batcher._score = counting
+    try:
+        results = [None, None]
+
+        def go(i, pair):
+            results[i] = _post(port, {"pairs": [pair], "prompt": "x"})["scores"][0]
+
+        t1 = threading.Thread(target=go, args=(0, [paths[0], paths[1]]))
+        t2 = threading.Thread(target=go, args=(1, [paths[2], paths[3]]))
+        t1.start(); t2.start(); t1.join(); t2.join()
+    finally:
+        batcher._score = real
+
+    assert all(r is not None and np.isfinite(r) for r in results)
+    # both pairs went through a single fused call (wait window 200 ms >> decode time)
+    assert 2 in calls, calls
+    # distinct pairs -> (almost surely) distinct scores, proving per-caller demux
+    assert results[0] != results[1]
