@@ -52,11 +52,15 @@ def main(argv=None):
                          "— larger per-chip batch for the same HBM; numerics unchanged)")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 model compute with float32 master weights/optimizer/EMA")
+    ap.add_argument("--distributed", action="store_true",
+                    help="Force jax.distributed.initialize() (TPU-pod auto-detection); "
+                         "otherwise it runs only under a JAX_COORDINATOR_ADDRESS env")
     args = ap.parse_args(argv)
 
     # multi-host: under a pod coordinator this makes jax.devices() span all hosts; the mesh
-    # below is then global and each process feeds only its local slice of the batch
-    distributed = meshlib.maybe_init_distributed()
+    # below is then global and each process feeds only its local slice of the batch.
+    # Must run before ANY other jax call (even process_count() boots the backend).
+    distributed = meshlib.maybe_init_distributed(force=args.distributed)
     logger = create_logger(args.results_dir)
     mesh = meshlib.make_mesh() if len(jax.devices()) > 1 else None
     cfg = TrainConfig(

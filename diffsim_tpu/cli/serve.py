@@ -66,11 +66,15 @@ class Batcher:
         return work
 
     def _run(self):
+        carry: _Work | None = None
         while True:
-            batch = [self._q.get()]
+            first = carry if carry is not None else self._q.get()
+            carry = None
+            batch = [first]
+            n = len(first.prompts)
             deadline = time.monotonic() + self._max_wait
-            n = len(batch[0].prompts)
-            # fuse whatever arrives within the wait window, up to max_batch pairs
+            # fuse whatever arrives within the wait window, strictly capped at max_batch —
+            # an over-cap arrival carries to the next round
             while n < self._max_batch:
                 timeout = deadline - time.monotonic()
                 if timeout <= 0:
@@ -79,13 +83,23 @@ class Batcher:
                     w = self._q.get(timeout=timeout)
                 except queue.Empty:
                     break
+                if n + len(w.prompts) > self._max_batch:
+                    carry = w
+                    break
                 batch.append(w)
                 n += len(w.prompts)
             try:
                 pix_a = np.concatenate([w.pix_a for w in batch], axis=0)
                 pix_b = np.concatenate([w.pix_b for w in batch], axis=0)
                 prompts = [p for w in batch for p in w.prompts]
-                scores = np.asarray(self._score(pix_a, pix_b, prompts), np.float32)
+                # pad to the FIXED max_batch shape so XLA compiles the scoring graph once —
+                # otherwise every distinct fused size pays a full-scale recompile
+                pad = self._max_batch - n if n < self._max_batch else 0
+                if pad:
+                    pix_a = np.concatenate([pix_a, np.repeat(pix_a[-1:], pad, 0)], axis=0)
+                    pix_b = np.concatenate([pix_b, np.repeat(pix_b[-1:], pad, 0)], axis=0)
+                    prompts = prompts + [prompts[-1]] * pad
+                scores = np.asarray(self._score(pix_a, pix_b, prompts), np.float32)[:n]
                 off = 0
                 for w in batch:
                     k = len(w.prompts)
@@ -158,10 +172,13 @@ def make_server(args, port: int, max_wait_ms: float = 5.0):
                         for a, b in pairs]
                 pix_a = np.concatenate([f.result() for f, _ in futs], axis=0)
                 pix_b = np.concatenate([f.result() for _, f in futs], axis=0)
-                work = batcher.submit(_Work(pix_a, pix_b, [prompt] * len(pairs)))
-                return self._reply(200, {"scores": work.scores})
-            except Exception as e:  # noqa: BLE001 — surface to the client
+            except Exception as e:  # request/decode problems are the CLIENT's
                 return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            try:
+                work = batcher.submit(_Work(pix_a, pix_b, [prompt] * len(pairs)))
+            except Exception as e:  # scoring/device failures are the SERVER's
+                return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+            return self._reply(200, {"scores": work.scores})
 
     server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
     return server, batcher

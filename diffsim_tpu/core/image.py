@@ -145,7 +145,15 @@ class ImageLoader:
         self._cache_lock = threading.Lock()
 
     def _load(self, path) -> np.ndarray:
-        key = os.fspath(path) if isinstance(path, (str, os.PathLike)) else None
+        key = None
+        if isinstance(path, (str, os.PathLike)) and self._cache_budget > 0:
+            # key carries mtime+size: a long-lived process (cli.serve) must not return stale
+            # pixels when a file is overwritten in place
+            try:
+                st = os.stat(path)
+                key = (os.fspath(path), st.st_mtime_ns, st.st_size)
+            except OSError:
+                key = None
         if key is not None and self._cache_budget > 0:
             with self._cache_lock:
                 hit = self._cache.get(key)

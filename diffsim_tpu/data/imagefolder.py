@@ -82,6 +82,10 @@ class ImageFolderDataset:
         chunks = [order[i : i + batch] for i in range(0, len(order), batch)]
         if process_slice is not None:
             proc, nproc = process_slice
+            assert batch % nproc == 0, (
+                f"global batch {batch} must divide by process count {nproc} — "
+                f"a remainder would silently drop samples from every batch"
+            )
             local = batch // nproc
             chunks = [c[proc * local : (proc + 1) * local] for c in chunks]
 

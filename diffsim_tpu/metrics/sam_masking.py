@@ -69,9 +69,11 @@ class SamMasking:
         scale = size / max(w, h)
         nw, nh = max(1, int(round(w * scale))), max(1, int(round(h * scale)))
         resized = np.asarray(rgb.resize((nw, nh), Image.BILINEAR), np.float32)
-        canvas = np.zeros((size, size, 3), np.float32)
-        canvas[:nh, :nw] = resized
-        pixels = (canvas - np.asarray(sam.PIXEL_MEAN)) / np.asarray(sam.PIXEL_STD)
+        # published predictor order: normalize FIRST, then zero-pad bottom/right — pad
+        # pixels must be exactly 0 in normalized space, not -mean/std
+        resized = (resized - np.asarray(sam.PIXEL_MEAN)) / np.asarray(sam.PIXEL_STD)
+        pixels = np.zeros((size, size, 3), np.float32)
+        pixels[:nh, :nw] = resized
 
         # center-point prompt in resized coordinates, label 1 (foreground)
         coords = np.asarray([[[nw / 2.0, nh / 2.0]]], np.float32)

@@ -42,18 +42,25 @@ def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def maybe_init_distributed() -> bool:
+def maybe_init_distributed(force: bool = False) -> bool:
     """Multi-host bring-up: ``jax.distributed.initialize()`` when launched under a multi-host
-    coordinator (JAX_COORDINATOR_ADDRESS / TPU pod env), else no-op. Replaces the reference's
-    ``dist.init_process_group("nccl")`` (/root/reference/DiT/train.py:117) — after this,
-    ``jax.devices()`` spans the pod and ``make_mesh()`` builds the global mesh. Returns True
-    if distributed mode is active (jax.process_count() > 1)."""
+    coordinator (JAX_COORDINATOR_ADDRESS / COORDINATOR_ADDRESS env, or ``force=True`` for
+    TPU-pod auto-detection). Replaces the reference's ``dist.init_process_group("nccl")``
+    (/root/reference/DiT/train.py:117) — after this, ``jax.devices()`` spans the pod and
+    ``make_mesh()`` builds the global mesh. Returns True if distributed mode is active.
+
+    MUST run before anything touches the XLA backend — even ``jax.process_count()``
+    initializes it, after which ``initialize()`` raises. So the coordinator check here is
+    env-only; only after (maybe) initializing do we ask jax anything."""
     import os
 
-    if jax.process_count() > 1:
-        return True
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    if force or os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            # already initialized (repeat call), or the backend was touched first — in the
+            # latter case single-process mode is the only consistent outcome
+            pass
     return jax.process_count() > 1
 
 

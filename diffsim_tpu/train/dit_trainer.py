@@ -68,7 +68,9 @@ class DiTTrainer:
         self.state = state
         self.vae_params = vae_params
         self.timestep_sampler = timestep_sampler or UniformSampler(self.diffusion.num_steps)
-        self._t_rng = np.random.default_rng(cfg.seed)
+        # per-host stream: in multi-host runs each process draws t only for its local batch
+        # slice, so the streams must be disjoint across hosts
+        self._t_rng = np.random.default_rng((cfg.seed, jax.process_index()))
         self._step_fn = self._build_step()
 
     def _build_step(self):
@@ -141,11 +143,30 @@ class DiTTrainer:
         return jax.jit(step, donate_argnums=(0,))
 
     def train_step(self, pixels: np.ndarray, labels: np.ndarray, key) -> dict:
-        t, t_weights = self.timestep_sampler.sample(self._t_rng, pixels.shape[0])
+        """One step. Single-process: pixels/labels are host arrays. Multi-host: pixels/labels
+        are GLOBAL jax.Arrays (parallel.mesh.global_batch_from_local); t/t_weights are drawn
+        for the local slice only and assembled the same way, and the loss-aware sampler
+        updates from this host's addressable shard of the per-example losses (its state is
+        per-host — each host importance-samples its own slice, unbiased via the weights)."""
+        multihost = jax.process_count() > 1
+        if multihost:
+            local_n = pixels.shape[0] // jax.process_count()
+            t_local, w_local = self.timestep_sampler.sample(self._t_rng, local_n)
+            t = meshlib.global_batch_from_local(self.mesh, t_local)
+            t_weights = meshlib.global_batch_from_local(self.mesh, w_local)
+        else:
+            t_local, t_weights = self.timestep_sampler.sample(self._t_rng, pixels.shape[0])
+            t = t_local
         self.state, metrics = self._step_fn(
             self.state, self.vae_params, pixels, labels, t, t_weights, key
         )
-        self.timestep_sampler.update(t, np.asarray(metrics.pop("per_example_loss")))
+        pel = metrics.pop("per_example_loss")
+        if multihost:
+            shards = sorted(pel.addressable_shards, key=lambda s: s.index[0].start or 0)
+            pel_np = np.concatenate([np.asarray(s.data).reshape(-1) for s in shards])
+        else:
+            pel_np = np.asarray(pel)
+        self.timestep_sampler.update(t_local, pel_np)
         return metrics
 
     # ------------------------------------------------------------------
@@ -207,7 +228,15 @@ class DiTTrainer:
                 return out
 
         loop = diffusion.ddim_sample_loop if ddim else diffusion.p_sample_loop
-        latents = jax.jit(lambda k: loop(model_fn, shape, k))(key)
+        if self.mesh is not None:
+            # FID-scale mass sampling (the reference's sample_ddp): the sample batch shards
+            # over the mesh 'data' axis — each chip runs its slice of the denoising loop
+            ds = meshlib.data_sharding(self.mesh)
+            latents = jax.jit(
+                lambda k: loop(model_fn, shape, k), out_shardings=ds
+            )(key)
+        else:
+            latents = jax.jit(lambda k: loop(model_fn, shape, k))(key)
         if vae_decoder is not None:
             images = vae.decoder_apply(vae_decoder, latents / self.cfg.vae_scaling, self.vae_cfg)
             return np.asarray(jax.device_get(images))

@@ -304,3 +304,16 @@ def test_global_batch_from_local_feeds_sharded_train_step():
     assert gp.sharding == meshlib.data_sharding(mesh)
     m_arr = t2.train_step(gp, gl, jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(m_np["loss"]), float(m_arr["loss"]), rtol=1e-6)
+
+
+def test_sampling_shards_over_mesh():
+    """trainer.sample on a mesh shards the sample batch over 'data' (the reference's
+    sample_ddp role) and matches single-device sampling for the same key."""
+    single = _tiny_trainer()
+    meshed = _tiny_trainer(mesh=meshlib.make_mesh())
+    # identical weights: same seed/init path
+    labels = np.arange(8) % 10
+    key = jax.random.PRNGKey(4)
+    lat_s = single.sample(labels, key, num_steps=4, ddim=True)
+    lat_m = meshed.sample(labels, key, num_steps=4, ddim=True)
+    np.testing.assert_allclose(lat_s, lat_m, atol=1e-5)

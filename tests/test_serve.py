@@ -91,7 +91,9 @@ def test_serve_fuses_concurrent_requests(server):
         batcher._score = real
 
     assert all(r is not None and np.isfinite(r) for r in results)
-    # both pairs went through a single fused call (wait window 200 ms >> decode time)
-    assert 2 in calls, calls
+    # both pairs went through a single fused call (wait window 200 ms >> decode time),
+    # padded to the FIXED max_batch shape so the graph never recompiles per fused size
+    assert len(calls) == 1, calls
+    assert calls[0] == server["batcher"]._max_batch
     # distinct pairs -> (almost surely) distinct scores, proving per-caller demux
     assert results[0] != results[1]

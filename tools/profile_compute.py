@@ -1,9 +1,10 @@
 """Device-resident compute split of the SD-1.5 scoring graph: VAE encode vs UNet forward vs
 readout, timed separately with inputs staged in HBM (no relay transport in the timed region).
 
-Each stage is repeated K times inside ONE jitted lax.scan (a float data dependence between
-iterations stops XLA hoisting the loop-invariant body), so the ~0.5 s relay launch/fetch
-latency is paid once per stage, not once per iteration.
+Each stage queues K identical launches back-to-back and fetches a scalar from the LAST
+output: the single device executes enqueued programs in order, so the fetch waits for all of
+them and the ~0.5 s relay launch/fetch latency is paid once per stage, amortized over K.
+(block_until_ready on relay buffers does not reliably wait for remote execution.)
 
 Usage: python tools/profile_compute.py [--batch 24] [--img 512] [--reps 8]
 """
