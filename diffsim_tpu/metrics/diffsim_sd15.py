@@ -28,6 +28,7 @@ from diffsim_tpu.core.image import load_and_process
 from diffsim_tpu.core.tokenizer import HashTokenizer
 from diffsim_tpu.metrics import readout
 from diffsim_tpu.models import clip_text, unet, vae
+from diffsim_tpu.metrics.scorer_base import ScorerBase
 from diffsim_tpu.ops.taps import IP_QKV, OUTPUT, QKV, TapSpec
 from diffsim_tpu.parallel import mesh as meshlib
 
@@ -60,7 +61,7 @@ def sd15_tap(target_block: str, target_layer, ip_adapter: bool = False,
     raise ValueError(f"unknown target_block: {target_block}")
 
 
-class DiffSimSD15:
+class DiffSimSD15(ScorerBase):
     """Batched SD-1.5 DiffSim. ``params`` is {'unet','vae','text'}; if None, randomly
     initialized (tests / throughput benchmarking — scores are meaningless without converted
     weights, rankings/throughput machinery is identical)."""
@@ -107,16 +108,15 @@ class DiffSimSD15:
                     "text": clip_text.init(kt, self.text_cfg, dtype),
                 }
         self.params = self._place(params)
-        self._ip = None  # set by enable_ip_adapter
         self._prompt_cache: dict[str, jax.Array] = {}
         self._encode_jit = jax.jit(
             lambda p, ids: clip_text.apply(p, ids, self.text_cfg)["last_hidden_state"]
         )
 
-    def _place(self, params):
-        if self.mesh is None:
-            return jax.device_put(params, jax.devices()[0])
-        return jax.device_put(params, meshlib.replicated(self.mesh))
+    def _default_resampler_cfg(self):
+        from diffsim_tpu.models import ip_adapter as ipm
+
+        return ipm.ResamplerConfig.sd15_plus()
 
     # ------------------------------------------------------------------
     # prompt encoding (cached per prompt string; the reference re-encodes per step call)
@@ -454,92 +454,8 @@ class DiffSimSD15:
 
         return fetch() if blocking else fetch
 
-    def _ip_embed(self, params, pix):
-        """[-1,1] pixels at the scoring resolution -> adapter tokens. The reference feeds the
-        original PIL image through CLIPImageProcessor; we resize the lanczos-512 pixels on
-        device (bilinear, documented divergence)."""
-        from diffsim_tpu.core.image import CLIP_MEAN, CLIP_STD
-        from diffsim_tpu.models import clip_vision, ip_adapter as ipm
-
-        ip = self._ip
-        size = ip["encoder_cfg"].image_size
-        x = jax.image.resize(pix.astype(jnp.float32), pix.shape[:1] + (size, size, 3), "bilinear")
-        x = ((x + 1.0) / 2.0 - CLIP_MEAN) / CLIP_STD
-        out = clip_vision.apply(params["ip_encoder"], x.astype(self.dtype), ip["encoder_cfg"],
-                                output_hidden_states=ip["plus"])
-        if ip["plus"]:
-            return ipm.resampler_apply(params["ip_proj"], out["hidden_states"][-2], ip["resampler_cfg"])
-        return ipm.image_projection_apply(params["ip_proj"], out["image_embeds"])
-
-    def enable_ip_adapter(
-        self,
-        converted=None,
-        *,
-        scale: float = 0.5,
-        encoder_params=None,
-        encoder_cfg=None,
-        resampler_cfg=None,
-        plus: bool = True,
-        init_seed: int = 1,
-    ):
-        """Attach IP-Adapter projections to every attn2 (the reference's load_ip_adapter +
-        set_ip_adapter_scale(0.5), /root/reference/diffsim/diffsim.py:86-89). ``converted`` is
-        convert_ip_adapter()'s output; None => random weights (tests/throughput)."""
-        from diffsim_tpu.models import clip_vision, ip_adapter as ipm
-
-        encoder_cfg = encoder_cfg or clip_vision.CLIPVisionConfig.h14()
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            key = jax.random.PRNGKey(init_seed)
-            if encoder_params is None:
-                encoder_params = clip_vision.init(key, encoder_cfg, self.dtype)
-            if converted is not None:
-                plus = converted["plus"]
-                ip_weights = converted["ip_weights"]
-                proj = converted["image_proj"]
-                if plus and resampler_cfg is None:
-                    lat = np.asarray(proj["latents"])
-                    resampler_cfg = ipm.ResamplerConfig(
-                        dim=lat.shape[-1], depth=len(proj["layers"]),
-                        dim_head=64, heads=np.asarray(proj["layers"][0]["to_q"]["w"]).shape[1] // 64,
-                        num_queries=lat.shape[-2],
-                        embedding_dim=np.asarray(proj["proj_in"]["w"]).shape[0],
-                        output_dim=np.asarray(proj["proj_out"]["w"]).shape[1],
-                    )
-            else:
-                resampler_cfg = resampler_cfg or ipm.ResamplerConfig.sd15_plus()
-                if plus:
-                    proj = ipm.resampler_init(jax.random.fold_in(key, 1), resampler_cfg, self.dtype)
-                else:
-                    proj = ipm.image_projection_init(
-                        jax.random.fold_in(key, 1), encoder_cfg.projection_dim,
-                        self.unet_cfg.cross_attention_dim, dtype=self.dtype,
-                    )
-                ip_weights = ipm.random_ip_weights(
-                    jax.random.fold_in(key, 2), self.unet_cfg, dtype=self.dtype
-                )
-        params = jax.device_get(self.params)
-        ipm.insert_ip_into_unet(params["unet"], self.unet_cfg, ip_weights)
-        params["ip_proj"] = proj
-        params["ip_encoder"] = encoder_params
-        self._ip = {"scale": scale, "plus": plus, "encoder_cfg": encoder_cfg,
-                    "resampler_cfg": resampler_cfg}
-        self.params = self._place(params)
-        self._score_fn.cache_clear()
-        # uncond ip embedding: zeros in NORMALIZED space (diffusers encode_image zeroes the
-        # preprocessed pixel_values, not the raw image); computed once
-        from diffsim_tpu.models import clip_vision as _cv, ip_adapter as _ipm
-
-        size = encoder_cfg.image_size
-
-        def _uncond(params):
-            zero = jnp.zeros((1, size, size, 3), self.dtype)
-            out = _cv.apply(params["ip_encoder"], zero, encoder_cfg, output_hidden_states=plus)
-            if plus:
-                return _ipm.resampler_apply(params["ip_proj"], out["hidden_states"][-2],
-                                            self._ip["resampler_cfg"])
-            return _ipm.image_projection_apply(params["ip_proj"], out["image_embeds"])
-
-        self._ip_uncond = np.asarray(jax.device_get(jax.jit(_uncond)(self.params)))
+    # enable_ip_adapter / _ip_embed live on ScorerBase (shared with the SDXL scorer —
+    # /root/reference/diffsim/diffsim.py:86-89 and diffsim_xl.py:52-55 load the same stack)
 
     # ------------------------------------------------------------------
     # public API

@@ -131,7 +131,9 @@ class DiffSimXL(ScorerBase):
         latent_c = vae_cfg.latent_channels
         down = vae_cfg.downscale
 
-        def fn(params, pix, embeds, pooled, noise_sab, key):
+        ip_enabled = tap.capture == IP_QKV
+
+        def fn(params, pix, embeds, pooled, noise_sab, key, ip_uncond):
             model_t, a, b = noise_sab
             P, two, H, W, _ = pix.shape
             h = H // down
@@ -178,12 +180,36 @@ class DiffSimXL(ScorerBase):
                 "text_embeds": pool.astype(self.dtype),
                 "time_ids": jnp.tile(time_ids[None], (n_in, 1)),
             }
+            ip_embeds = ip_scale = None
+            if ip_enabled:
+                # IP-Adapter image embeds from the scored images themselves; uncond half
+                # uses the zero-image embedding (/root/reference/diffsim/diffsim_xl.py:78-94)
+                cond = self._ip_embed(params, pix.reshape(P * 2, H, W, 3))
+                t_tok, d_tok = cond.shape[-2:]
+                cond = cond.reshape(P, 2, t_tok, d_tok)
+                if cfg_parity:
+                    u = jnp.broadcast_to(ip_uncond, cond.shape)
+                    inter = jnp.stack([u, cond], axis=2)  # (P, img, [uncond|cond], T, D)
+                    ip_embeds = [inter.reshape(P * 4, t_tok, d_tok).astype(self.dtype)]
+                else:
+                    ip_embeds = [cond.reshape(P * 2, t_tok, d_tok).astype(self.dtype)]
+                ip_scale = [self._ip["scale"]]
             _, taps = unet.apply(
                 params["unet"], x_in, jnp.float32(model_t), ctx, unet_cfg,
-                tap=tap, added_cond=added,
+                tap=tap, added_cond=added, ip_embeds=ip_embeds, ip_scale=ip_scale,
             )
-            q, k, v = taps["q"], taps["k"], taps["v"]
             nb = 2 * per_img
+            if tap.capture == IP_QKV:
+                q = taps["q"].reshape((P, nb) + taps["q"].shape[1:])
+                ip_k = [t_.reshape((P, nb) + t_.shape[1:]) for t_ in taps["ip_k"]]
+                ip_v = [t_.reshape((P, nb) + t_.shape[1:]) for t_ in taps["ip_v"]]
+                return readout.cross_attention_score_ip(
+                    q[:, :per_img], [t_[:, :per_img] for t_ in ip_k],
+                    [t_[:, :per_img] for t_ in ip_v],
+                    q[:, per_img:], [t_[:, per_img:] for t_ in ip_k],
+                    [t_[:, per_img:] for t_ in ip_v], similarity,
+                )
+            q, k, v = taps["q"], taps["k"], taps["v"]
             q = q.reshape((P, nb) + q.shape[1:])
             k = k.reshape((P, nb) + k.shape[1:])
             v = v.reshape((P, nb) + v.shape[1:])
@@ -193,6 +219,11 @@ class DiffSimXL(ScorerBase):
             )
 
         return self._jit_pairs(fn, n_data=3)
+
+    def _default_resampler_cfg(self):
+        from diffsim_tpu.models import ip_adapter as ipm
+
+        return ipm.ResamplerConfig.sdxl_plus()
 
     @functools.lru_cache(maxsize=16)
     def _triplet_fn(self, tap: TapSpec, similarity: str):
@@ -284,6 +315,10 @@ class DiffSimXL(ScorerBase):
         enc = [self.encode_prompt(p) for p in prompts]
         embeds = np.stack([e for e, _ in enc])
         pooled = np.stack([p for _, p in enc])
+        if ip_adapter and self._ip is None:
+            self.enable_ip_adapter()
+        ip_uncond = (jnp.asarray(self._ip_uncond) if ip_adapter
+                     else jnp.zeros((1, 1, 1), self.dtype))
         fn = self._score_fn(tap, similarity)
         scores = fn(
             self.params,
@@ -292,6 +327,7 @@ class DiffSimXL(ScorerBase):
             pooled,
             (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
             jax.random.PRNGKey(int(seed)),
+            ip_uncond,
         )
 
         def fetch():

@@ -11,6 +11,7 @@ from diffsim_tpu.parallel import mesh as meshlib
 class ScorerBase:
     mesh = None
     dtype = None
+    _ip = None  # set by enable_ip_adapter
 
     def _place(self, params):
         if self.mesh is None:
@@ -42,3 +43,104 @@ class ScorerBase:
         argc = fn.__code__.co_argcount
         in_sh = tuple(rs if i == 0 else (ds if i <= n_data else rs) for i in range(argc))
         return jax.jit(fn, in_shardings=in_sh, out_shardings=ds)
+
+    # ------------------------------------------------------------------
+    # IP-Adapter attachment, shared by the SD-1.5 and SDXL scorers
+    # (/root/reference/diffsim/diffsim.py:86-89, diffsim_xl.py:52-55)
+    # ------------------------------------------------------------------
+
+    def _default_resampler_cfg(self):
+        raise NotImplementedError  # per backbone: sd15_plus / sdxl_plus
+
+    def enable_ip_adapter(
+        self,
+        converted=None,
+        *,
+        scale: float = 0.5,
+        encoder_params=None,
+        encoder_cfg=None,
+        resampler_cfg=None,
+        plus: bool = True,
+        init_seed: int = 1,
+    ):
+        """Attach IP-Adapter projections to every attn2 (the reference's load_ip_adapter +
+        set_ip_adapter_scale(0.5)). ``converted`` is convert_ip_adapter()'s output; None =>
+        random weights (tests/throughput)."""
+        import jax.numpy as jnp
+
+        from diffsim_tpu.models import clip_vision, ip_adapter as ipm
+
+        encoder_cfg = encoder_cfg or clip_vision.CLIPVisionConfig.h14()
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            key = jax.random.PRNGKey(init_seed)
+            if encoder_params is None:
+                encoder_params = clip_vision.init(key, encoder_cfg, self.dtype)
+            if converted is not None:
+                plus = converted["plus"]
+                ip_weights = converted["ip_weights"]
+                proj = converted["image_proj"]
+                if plus and resampler_cfg is None:
+                    lat = np.asarray(proj["latents"])
+                    resampler_cfg = ipm.ResamplerConfig(
+                        dim=lat.shape[-1], depth=len(proj["layers"]),
+                        dim_head=64,
+                        heads=np.asarray(proj["layers"][0]["to_q"]["w"]).shape[1] // 64,
+                        num_queries=lat.shape[-2],
+                        embedding_dim=np.asarray(proj["proj_in"]["w"]).shape[0],
+                        output_dim=np.asarray(proj["proj_out"]["w"]).shape[1],
+                    )
+            else:
+                resampler_cfg = resampler_cfg or self._default_resampler_cfg()
+                if plus:
+                    proj = ipm.resampler_init(jax.random.fold_in(key, 1), resampler_cfg, self.dtype)
+                else:
+                    proj = ipm.image_projection_init(
+                        jax.random.fold_in(key, 1), encoder_cfg.projection_dim,
+                        self.unet_cfg.cross_attention_dim, dtype=self.dtype,
+                    )
+                ip_weights = ipm.random_ip_weights(
+                    jax.random.fold_in(key, 2), self.unet_cfg, dtype=self.dtype
+                )
+        params = jax.device_get(self.params)
+        ipm.insert_ip_into_unet(params["unet"], self.unet_cfg, ip_weights)
+        params["ip_proj"] = proj
+        params["ip_encoder"] = encoder_params
+        self._ip = {"scale": scale, "plus": plus, "encoder_cfg": encoder_cfg,
+                    "resampler_cfg": resampler_cfg}
+        self.params = self._place(params)
+        self._score_fn.cache_clear()
+
+        # uncond ip embedding: zeros in NORMALIZED space (diffusers encode_image zeroes the
+        # preprocessed pixel_values, not the raw image); computed once
+        size = encoder_cfg.image_size
+
+        def _uncond(params):
+            zero = jnp.zeros((1, size, size, 3), self.dtype)
+            out = clip_vision.apply(params["ip_encoder"], zero, encoder_cfg,
+                                    output_hidden_states=plus)
+            if plus:
+                return ipm.resampler_apply(params["ip_proj"], out["hidden_states"][-2],
+                                           self._ip["resampler_cfg"])
+            return ipm.image_projection_apply(params["ip_proj"], out["image_embeds"])
+
+        self._ip_uncond = np.asarray(jax.device_get(jax.jit(_uncond)(self.params)))
+
+    def _ip_embed(self, params, pix):
+        """[-1,1] pixels at the scoring resolution -> adapter tokens. The reference feeds the
+        original PIL image through CLIPImageProcessor; we resize the scoring-resolution
+        pixels on device (bilinear, documented divergence)."""
+        import jax.numpy as jnp
+
+        from diffsim_tpu.core.image import CLIP_MEAN, CLIP_STD
+        from diffsim_tpu.models import clip_vision, ip_adapter as ipm
+
+        ip = self._ip
+        size = ip["encoder_cfg"].image_size
+        x = jax.image.resize(pix.astype(jnp.float32), pix.shape[:1] + (size, size, 3), "bilinear")
+        x = ((x + 1.0) / 2.0 - CLIP_MEAN) / CLIP_STD
+        out = clip_vision.apply(params["ip_encoder"], x.astype(self.dtype), ip["encoder_cfg"],
+                                output_hidden_states=ip["plus"])
+        if ip["plus"]:
+            return ipm.resampler_apply(params["ip_proj"], out["hidden_states"][-2],
+                                       ip["resampler_cfg"])
+        return ipm.image_projection_apply(params["ip_proj"], out["image_embeds"])
