@@ -386,7 +386,8 @@ class DiffSimXL(ScorerBase):
         return fetch() if blocking else fetch
 
     def diffsim_score(self, image_a, image_b, img_size=None, prompt="", target_block="up_blocks",
-                      target_layer=(0, 0, 0), target_step=900, similarity="cosine", seed=2333):
+                      target_layer=(0, 0, 0), target_step=900, similarity="cosine", seed=2333,
+                      ip_adapter=False, **_):
         """Reference-shaped single-pair API (/root/reference/diffsim/diffsim_xl.py:65)."""
         size = img_size or self.img_size
         pa = load_and_process(image_a, size)
@@ -394,5 +395,5 @@ class DiffSimXL(ScorerBase):
         return float(
             self.score_batch(pa, pb, prompt=prompt, target_block=target_block,
                              target_layer=target_layer, target_step=target_step,
-                             similarity=similarity, seed=seed)[0]
+                             similarity=similarity, seed=seed, ip_adapter=ip_adapter)[0]
         )

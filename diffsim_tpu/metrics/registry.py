@@ -178,6 +178,29 @@ def build_metric(args, mesh=None) -> MetricAdapter:
             cfg_parity=getattr(args, "cfg_parity", True),
             **kw,
         )
+        if args.ip_adapter:
+            # same attachment as the SD-1.5 branch (the reference loads
+            # ip-adapter-plus_sdxl_vit-h here, diffsim_xl.py:52-55)
+            ip_kw = {}
+            if tiny:
+                import dataclasses as _dc
+
+                from diffsim_tpu.models import clip_vision as _cv, ip_adapter as _ipm
+
+                ip_kw = dict(
+                    encoder_cfg=_cv.CLIPVisionConfig.tiny(),
+                    resampler_cfg=_dc.replace(
+                        _ipm.ResamplerConfig.tiny(),
+                        output_dim=scorer.unet_cfg.cross_attention_dim,
+                    ),
+                )
+            ip_weights = getattr(args, "ip_weights", None)
+            converted = None
+            if ip_weights:
+                from diffsim_tpu.convert import load_params as _lp
+
+                converted = _lp(ip_weights)
+            scorer.enable_ip_adapter(converted, scale=0.5, **ip_kw)
 
         def score_pairs(pa, pb, prompts, blocking=True):
             return scorer.score_batch(

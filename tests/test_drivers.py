@@ -490,3 +490,20 @@ def test_imageloader_caches_repeated_paths(tmp_path, monkeypatch):
     small._load(paths[-1])  # hit
     small._load(paths[0])   # evicted -> re-decode
     assert counts[paths[-1]] == 1 and counts[paths[0]] == 2, counts
+
+
+def test_cli_style_xl_ip_adapter_tiny(data, tmp_path):
+    """--metric diffsim_xl --ip_adapter end-to-end through the CLI: the SDXL IP attachment
+    (reference diffsim_xl.py:52-55) with random tiny weights; scores come from the attn2
+    per-adapter readout (triplet fusion is disabled in IP mode)."""
+    from diffsim_tpu.cli.main import run_benchmark
+
+    rep = run_benchmark(
+        "tid",
+        [
+            "--image_path", data["tid"], "--image_size", "32", "--metric", "diffsim_xl",
+            "--target_layer", "0", "0", "1", "--target_step", "900", "--similarity", "cosine",
+            "--model_scale", "tiny", "--batch_size", "4", "--ip_adapter",
+        ],
+    )
+    assert rep.total == 6
