@@ -117,3 +117,24 @@ def test_sam_masking_surface(tiny_pair):
     m = mask_from_matting(masking, img, 32)
     assert m.shape == (1, 32, 32)
     assert set(np.unique(m)).issubset({0.0, 1.0})
+
+
+def test_sam_rel_pos_interpolation_matches_torch():
+    """_get_rel_pos with a stored table of the wrong length linearly resizes it (SAM loads
+    1024-trained tables at other resolutions); must match the published torch interpolation
+    semantics (F.interpolate mode='linear', half-pixel centers)."""
+    import sys
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "tools")
+    from tools.torch_sam import get_rel_pos
+
+    from diffsim_tpu.models.sam import _get_rel_pos
+
+    rng = np.random.default_rng(11)
+    table = rng.standard_normal((7, 8)).astype(np.float32)  # stored for size 4
+    size = 5  # needs max_rel 9 -> resize 7 -> 9
+    ours = np.asarray(_get_rel_pos(size, jnp.asarray(table)))
+    ref = get_rel_pos(size, size, torch.from_numpy(table)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
