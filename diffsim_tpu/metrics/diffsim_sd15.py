@@ -228,12 +228,7 @@ class DiffSimSD15(ScorerBase):
                 cond = self._ip_embed(params, pix)  # (2P,...) role-major
                 t_tok, d_tok = cond.shape[-2:]
                 cond = cond.reshape(2, P, t_tok, d_tok).transpose(1, 0, 2, 3)
-                if cfg_parity:
-                    u = jnp.broadcast_to(ip_uncond, cond.shape)
-                    inter = jnp.stack([u, cond], axis=2)  # (P, img, [uncond|cond], T, D)
-                    ip_embeds = [inter.reshape(P * 4, t_tok, d_tok).astype(self.dtype)]
-                else:
-                    ip_embeds = [cond.reshape(P * 2, t_tok, d_tok).astype(self.dtype)]
+                ip_embeds = [self._interleave_ip_embeds(cond, ip_uncond, cfg_parity, self.dtype)]
                 ip_scale = [self._ip["scale"]]
 
             _, taps = unet.apply(
@@ -504,8 +499,8 @@ class DiffSimSD15(ScorerBase):
                 prompts = prompts + [prompts[-1]] * pad
         embeds_u, pidx = self._embeds_and_idx(prompts)
         sab, key = self._noise_consts(int(target_step), int(seed))
-        if ip_adapter and self._ip is None:
-            self.enable_ip_adapter()
+        if ip_adapter:
+            self._auto_enable_ip()
         ip_enabled = bool(ip_adapter and self._ip is not None)
         use_mask = mask_a is not None
         if use_mask:

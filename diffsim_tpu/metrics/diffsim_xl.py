@@ -187,12 +187,7 @@ class DiffSimXL(ScorerBase):
                 cond = self._ip_embed(params, pix.reshape(P * 2, H, W, 3))
                 t_tok, d_tok = cond.shape[-2:]
                 cond = cond.reshape(P, 2, t_tok, d_tok)
-                if cfg_parity:
-                    u = jnp.broadcast_to(ip_uncond, cond.shape)
-                    inter = jnp.stack([u, cond], axis=2)  # (P, img, [uncond|cond], T, D)
-                    ip_embeds = [inter.reshape(P * 4, t_tok, d_tok).astype(self.dtype)]
-                else:
-                    ip_embeds = [cond.reshape(P * 2, t_tok, d_tok).astype(self.dtype)]
+                ip_embeds = [self._interleave_ip_embeds(cond, ip_uncond, cfg_parity, self.dtype)]
                 ip_scale = [self._ip["scale"]]
             _, taps = unet.apply(
                 params["unet"], x_in, jnp.float32(model_t), ctx, unet_cfg,
@@ -315,8 +310,8 @@ class DiffSimXL(ScorerBase):
         enc = [self.encode_prompt(p) for p in prompts]
         embeds = np.stack([e for e, _ in enc])
         pooled = np.stack([p for _, p in enc])
-        if ip_adapter and self._ip is None:
-            self.enable_ip_adapter()
+        if ip_adapter:
+            self._auto_enable_ip()
         ip_uncond = (jnp.asarray(self._ip_uncond) if ip_adapter
                      else jnp.zeros((1, 1, 1), self.dtype))
         fn = self._score_fn(tap, similarity)

@@ -32,6 +32,31 @@ class MetricAdapter:
     wants_masks: bool = False  # --use_mask supported: score_pairs accepts mask_a=/mask_b=
 
 
+def _attach_ip(scorer, args, tiny: bool):
+    """Attach the IP-Adapter per the CLI flags (one implementation for the SD-1.5 and SDXL
+    branches). Tiny mode sizes the random resampler to the scorer's actual cross dim."""
+    ip_kw = {}
+    if tiny:
+        import dataclasses as _dc
+
+        from diffsim_tpu.models import clip_vision as _cv, ip_adapter as _ipm
+
+        ip_kw = dict(
+            encoder_cfg=_cv.CLIPVisionConfig.tiny(),
+            resampler_cfg=_dc.replace(
+                _ipm.ResamplerConfig.tiny(),
+                output_dim=scorer.unet_cfg.cross_attention_dim,
+            ),
+        )
+    ip_weights = getattr(args, "ip_weights", None)
+    converted = None
+    if ip_weights:
+        from diffsim_tpu.convert import load_params as _lp
+
+        converted = _lp(ip_weights)
+    scorer.enable_ip_adapter(converted, scale=0.5, **ip_kw)
+
+
 def build_metric(args, mesh=None) -> MetricAdapter:
     """Construct the adapter for ``args.metric``; args carries the argprocess surface
     (image_size, target_block/layer/step, similarity, prompt, ip_adapter, seed) plus framework
@@ -66,19 +91,7 @@ def build_metric(args, mesh=None) -> MetricAdapter:
             **kw,
         )
         if args.ip_adapter:
-            ip_kw = {}
-            if tiny:
-                from diffsim_tpu.models import clip_vision as _cv, ip_adapter as _ipm
-
-                ip_kw = dict(encoder_cfg=_cv.CLIPVisionConfig.tiny(),
-                             resampler_cfg=_ipm.ResamplerConfig.tiny())
-            ip_weights = getattr(args, "ip_weights", None)
-            converted = None
-            if ip_weights:
-                from diffsim_tpu.convert import load_params as _lp
-
-                converted = _lp(ip_weights)
-            scorer.enable_ip_adapter(converted, scale=0.5, **ip_kw)
+            _attach_ip(scorer, args, tiny)
 
         from diffsim_tpu.core.image import process_image_u8
 
@@ -181,26 +194,7 @@ def build_metric(args, mesh=None) -> MetricAdapter:
         if args.ip_adapter:
             # same attachment as the SD-1.5 branch (the reference loads
             # ip-adapter-plus_sdxl_vit-h here, diffsim_xl.py:52-55)
-            ip_kw = {}
-            if tiny:
-                import dataclasses as _dc
-
-                from diffsim_tpu.models import clip_vision as _cv, ip_adapter as _ipm
-
-                ip_kw = dict(
-                    encoder_cfg=_cv.CLIPVisionConfig.tiny(),
-                    resampler_cfg=_dc.replace(
-                        _ipm.ResamplerConfig.tiny(),
-                        output_dim=scorer.unet_cfg.cross_attention_dim,
-                    ),
-                )
-            ip_weights = getattr(args, "ip_weights", None)
-            converted = None
-            if ip_weights:
-                from diffsim_tpu.convert import load_params as _lp
-
-                converted = _lp(ip_weights)
-            scorer.enable_ip_adapter(converted, scale=0.5, **ip_kw)
+            _attach_ip(scorer, args, tiny)
 
         def score_pairs(pa, pb, prompts, blocking=True):
             return scorer.score_batch(

@@ -90,7 +90,15 @@ class ScorerBase:
                         output_dim=np.asarray(proj["proj_out"]["w"]).shape[1],
                     )
             else:
-                resampler_cfg = resampler_cfg or self._default_resampler_cfg()
+                if resampler_cfg is None:
+                    import dataclasses as _dc
+
+                    # random-weight mode must emit IP tokens of the UNet's cross dim, whatever
+                    # config this scorer runs (the published cfgs assume the full-scale dims)
+                    resampler_cfg = _dc.replace(
+                        self._default_resampler_cfg(),
+                        output_dim=self.unet_cfg.cross_attention_dim,
+                    )
                 if plus:
                     proj = ipm.resampler_init(jax.random.fold_in(key, 1), resampler_cfg, self.dtype)
                 else:
@@ -124,6 +132,29 @@ class ScorerBase:
             return ipm.image_projection_apply(params["ip_proj"], out["image_embeds"])
 
         self._ip_uncond = np.asarray(jax.device_get(jax.jit(_uncond)(self.params)))
+
+    def _auto_enable_ip(self):
+        """Called by score paths when ip_adapter=True but nothing is attached: random
+        weights keep throughput/test runs working, but the scores are meaningless — say so."""
+        if self._ip is None:
+            print("[ip_adapter] no adapter attached — enabling RANDOM weights; scores are "
+                  "meaningless. Call enable_ip_adapter(converted) with cli.convert output "
+                  "for real IP-Adapter scoring.")
+            self.enable_ip_adapter()
+
+    @staticmethod
+    def _interleave_ip_embeds(cond, ip_uncond, cfg_parity: bool, dtype):
+        """(P, n_img, T, D) per-image cond tokens -> the UNet batch's ip_embeds, matching the
+        x_in/ctx CFG interleave exactly: per image [uncond, cond] when cfg_parity
+        ([a_u, a_c, b_u, b_c, ...]), else just the cond tokens per image."""
+        import jax.numpy as jnp
+
+        P, n_img, t_tok, d_tok = cond.shape
+        if cfg_parity:
+            u = jnp.broadcast_to(ip_uncond, cond.shape)
+            inter = jnp.stack([u, cond], axis=2)  # (P, img, [uncond|cond], T, D)
+            return inter.reshape(P * n_img * 2, t_tok, d_tok).astype(dtype)
+        return cond.reshape(P * n_img, t_tok, d_tok).astype(dtype)
 
     def _ip_embed(self, params, pix):
         """[-1,1] pixels at the scoring resolution -> adapter tokens. The reference feeds the

@@ -14,9 +14,6 @@ torch = pytest.importorskip("torch")
 
 @pytest.fixture(scope="module")
 def pair():
-    import sys
-
-    sys.path.insert(0, "tools")
     from tools.torch_dit import DiT
 
     cfg = dit.DiTConfig.tiny(input_size=8, learn_sigma=True, num_classes=10)

@@ -177,3 +177,26 @@ def test_xl_ip_scorer_end_to_end(xl_ip_scorer):
     # mse exercises the list-sum variant (quirk Q4 implemented correctly)
     s_mse = xl_ip_scorer.score_batch(a, b, ip_adapter=True, similarity="mse", **kw)
     assert s_mse.shape == (2,) and np.all(s_mse >= 0)
+
+
+def test_ip_embed_interleave_order():
+    """The ip_embeds batch must interleave EXACTLY like x_in/ctx: per image [uncond, cond],
+    images in pair order -> [a_u, a_c, b_u, b_c] (both scorers build it through this one
+    helper, so a swapped uncond/cond or A/B order would corrupt every IP score)."""
+    import jax.numpy as jnp
+
+    from diffsim_tpu.metrics.scorer_base import ScorerBase
+
+    P, T, D = 2, 3, 4
+    # markers: cond[p, img] filled with 10*p + img + 1; uncond is all zeros
+    cond = jnp.asarray(
+        np.stack([[np.full((T, D), 10 * p + i + 1.0) for i in range(2)] for p in range(P)])
+    )
+    uncond = jnp.zeros((1, T, D))
+    out = np.asarray(ScorerBase._interleave_ip_embeds(cond, uncond, True, jnp.float32))
+    assert out.shape == (P * 4, T, D)
+    # pair 0: [a_u, a_c, b_u, b_c] = [0, 1, 0, 2]; pair 1: [0, 11, 0, 12]
+    np.testing.assert_array_equal(out[:, 0, 0], [0, 1, 0, 2, 0, 11, 0, 12])
+    # cfg_parity off: cond only, same image order
+    out2 = np.asarray(ScorerBase._interleave_ip_embeds(cond, uncond, False, jnp.float32))
+    np.testing.assert_array_equal(out2[:, 0, 0], [1, 2, 11, 12])
