@@ -382,7 +382,7 @@ class DiffSimXL(ScorerBase):
 
     def diffsim_score(self, image_a, image_b, img_size=None, prompt="", target_block="up_blocks",
                       target_layer=(0, 0, 0), target_step=900, similarity="cosine", seed=2333,
-                      ip_adapter=False, **_):
+                      ip_adapter=False):
         """Reference-shaped single-pair API (/root/reference/diffsim/diffsim_xl.py:65)."""
         size = img_size or self.img_size
         pa = load_and_process(image_a, size)

@@ -83,7 +83,11 @@ class SamMasking:
                      jnp.asarray(labels))
         )[0]  # (size/4, size/4)
 
-        # un-pad then resize logits to the original size; threshold at 0
+        # un-pad, resize the FLOAT logits to the original size, THEN threshold at 0 (the
+        # published predictor's resample-then-threshold order). Original-size RGBA is the
+        # shared matting interface (FFA consumes it too); the scoring path's
+        # mask_from_matting downsamples the binary alpha afterwards — NEAREST on a label
+        # map, no interpolation loss.
         q = logits.shape[0] / size  # = 1/4
         crop = logits[: max(1, int(round(nh * q))), : max(1, int(round(nw * q)))]
         alpha_img = Image.fromarray(crop.astype(np.float32), "F").resize((w, h), Image.BILINEAR)

@@ -411,11 +411,14 @@ def decoder_apply(p, cfg: SamConfig, image_embed, image_pe, sparse_prompt):
 
     for i, lp in enumerate(p["layers"]):
         if i == 0:
-            q = _dec_attn(lp["self_attn"], queries, queries, queries, heads)
+            # skip_first_layer_pe: the published block REPLACES queries with the attention
+            # output here (no +queries residual, unlike every later layer)
+            queries = _dec_attn(lp["self_attn"], queries, queries, queries, heads)
+            queries = layer_norm(lp["norm1"], queries)
         else:
             qq = queries + tokens0
             q = _dec_attn(lp["self_attn"], qq, qq, queries, heads)
-        queries = layer_norm(lp["norm1"], queries + q)
+            queries = layer_norm(lp["norm1"], queries + q)
         a = _dec_attn(lp["cross_t2i"], queries + tokens0, keys + key_pe, keys, heads)
         queries = layer_norm(lp["norm2"], queries + a)
         m = linear(lp["mlp"]["fc2"], jax.nn.relu(linear(lp["mlp"]["fc1"], queries)))

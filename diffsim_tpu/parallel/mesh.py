@@ -57,10 +57,12 @@ def maybe_init_distributed(force: bool = False) -> bool:
     if force or os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
         try:
             jax.distributed.initialize()
-        except RuntimeError:
-            # already initialized (repeat call), or the backend was touched first — in the
-            # latter case single-process mode is the only consistent outcome
-            pass
+        except RuntimeError as e:
+            # tolerate ONLY the repeat-call case; a failed bring-up (unreachable
+            # coordinator, timeout) must raise — silently degrading to single-process
+            # would run N independent duplicate jobs racing on the same output dirs
+            if "once" not in str(e) and "already" not in str(e).lower():
+                raise
     return jax.process_count() > 1
 
 

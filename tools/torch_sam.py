@@ -244,11 +244,12 @@ class TwoWayLayer(nn.Module):
 
     def forward(self, queries, keys, query_pe, key_pe):
         if self.skip_first_pe:
-            attn = self.self_attn(queries, queries, queries)
+            # published semantics: attention output REPLACES queries (no residual) on layer 0
+            queries = self.self_attn(queries, queries, queries)
         else:
             q = queries + query_pe
-            attn = self.self_attn(q, q, queries)
-        queries = self.norm1(queries + attn)
+            queries = queries + self.self_attn(q, q, queries)
+        queries = self.norm1(queries)
         attn = self.cross_attn_token_to_image(queries + query_pe, keys + key_pe, keys)
         queries = self.norm2(queries + attn)
         queries = self.norm3(queries + self.mlp.lin2(F.relu(self.mlp.lin1(queries))))
