@@ -95,6 +95,10 @@ def arg_parse(argv=None):
                              "mask source, argprocess.py:16) — takes precedence over "
                              "--matting_weights")
     parser.add_argument("--tokenizer_dir", type=str, default=None, help="Dir with vocab.json + merges.txt")
+    parser.add_argument("--allow_hash_tokenizer", action="store_true",
+                        help="Permit --weights without --tokenizer_dir for the prompt-encoding "
+                             "metrics (hash-tokenized prompts make converted-weight scores "
+                             "meaningless; only for throughput runs)")
     parser.add_argument("--results", type=str, default=None, help="JSONL results path (enables resume)")
     parser.add_argument("--no_cfg_parity", dest="cfg_parity", action="store_false",
                         help="Drop the CFG uncond half (2x faster, not score-parity with torch)")

@@ -22,12 +22,18 @@ from diffsim_tpu.train.dit_trainer import DiTTrainer, TrainConfig
 
 
 def create_logger(results_dir: str) -> logging.Logger:
-    os.makedirs(results_dir, exist_ok=True)
+    """Process-0 logs to file+stdout; other hosts log to stdout only — the reference's rank-0
+    logger pattern (/root/reference/DiT/train.py:67-82), avoiding N processes appending to one
+    log.txt on shared storage."""
+    handlers: list[logging.Handler] = [logging.StreamHandler()]
+    if jax.process_index() == 0:
+        os.makedirs(results_dir, exist_ok=True)
+        handlers.append(logging.FileHandler(os.path.join(results_dir, "log.txt")))
     logging.basicConfig(
         level=logging.INFO,
         format="[%(asctime)s] %(message)s",
         datefmt="%Y-%m-%d %H:%M:%S",
-        handlers=[logging.StreamHandler(), logging.FileHandler(os.path.join(results_dir, "log.txt"))],
+        handlers=handlers,
     )
     return logging.getLogger(__name__)
 
@@ -115,9 +121,13 @@ def main(argv=None):
                 running = []
                 t0 = time.time()
             if steps % args.ckpt_every == 0:
-                path = os.path.abspath(os.path.join(args.results_dir, f"ckpt_{steps:07d}"))
-                trainer.save(path)
-                logger.info(f"saved checkpoint to {path}")
+                # rank-0-only save (the reference's pattern, /root/reference/DiT/train.py:
+                # 232-244): state is replicated, so process 0 holds the full tree; concurrent
+                # orbax saves from every host to one shared path would race
+                if jax.process_index() == 0:
+                    path = os.path.abspath(os.path.join(args.results_dir, f"ckpt_{steps:07d}"))
+                    trainer.save(path)
+                    logger.info(f"saved checkpoint to {path}")
             if args.max_steps and steps >= args.max_steps:
                 logger.info("done (max_steps)")
                 return trainer

@@ -29,6 +29,18 @@ BENCHMARKS = {
 }
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache: repeat CLI runs skip the ~45 s full-scale compile
+    (bench.py already does this; the drivers deserve it just as much)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/diffsim_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def make_mesh_or_none(num_devices=None):
     import jax
 
@@ -39,6 +51,7 @@ def make_mesh_or_none(num_devices=None):
 
 
 def run_benchmark(benchmark: str, argv=None) -> runner.Report:
+    enable_compile_cache()
     args = arg_parse(argv)
     planner, rule = BENCHMARKS[benchmark]
     comparisons = planner(args)

@@ -59,11 +59,32 @@ class Batcher:
         return self._q.qsize()
 
     def submit(self, work: _Work) -> _Work:
+        if len(work.prompts) > self._max_batch:
+            # split oversize requests into max_batch-sized chunks so the fixed-shape padding
+            # invariant holds (one compiled graph; no per-odd-size recompiles)
+            chunks = [
+                _Work(work.pix_a[i:i + self._max_batch], work.pix_b[i:i + self._max_batch],
+                      work.prompts[i:i + self._max_batch])
+                for i in range(0, len(work.prompts), self._max_batch)
+            ]
+            for c in chunks:
+                self._q.put(c)
+            work.scores = []
+            for c in chunks:
+                self._wait(c)
+                work.scores.extend(c.scores)
+            return work
         self._q.put(work)
-        work.event.wait()
+        self._wait(work)
+        return work
+
+    def _wait(self, work: _Work):
+        """Block for a result, surfacing a dead batcher thread instead of hanging forever."""
+        while not work.event.wait(timeout=1.0):
+            if not self._thread.is_alive():
+                raise RuntimeError("batcher thread died; the service must be restarted")
         if work.error is not None:
             raise work.error
-        return work
 
     def _run(self):
         carry: _Work | None = None
@@ -105,9 +126,14 @@ class Batcher:
                     k = len(w.prompts)
                     w.scores = scores[off : off + k].tolist()
                     off += k
-            except Exception as e:  # propagate to every waiter; keep serving
+            except BaseException as e:  # propagate to every waiter
+                err = e if isinstance(e, Exception) else RuntimeError(f"fatal batcher error: {e!r}")
                 for w in batch:
-                    w.error = e
+                    w.error = err
+                if not isinstance(e, Exception):
+                    # fatal (KeyboardInterrupt/SystemExit/...): let the thread die — _wait's
+                    # liveness check turns subsequent requests into errors, not hangs
+                    raise
             finally:
                 for w in batch:
                     w.event.set()

@@ -58,7 +58,7 @@ class DiffSimDiT(ScorerBase):
         self.params = self._place(params)
 
     @functools.lru_cache(maxsize=16)
-    def _score_fn(self, tap: TapSpec, similarity: str):
+    def _score_fn(self, tap: TapSpec, similarity: str, inject_noise: bool = False):
         cfg, vae_cfg = self.dit_cfg, self.vae_cfg
         latent_c = vae_cfg.latent_channels
         down = vae_cfg.downscale
@@ -71,7 +71,12 @@ class DiffSimDiT(ScorerBase):
                 pix = (pix.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
             moments = vae.encoder_apply_chunked(params["vae"], pix.reshape(P * 2, H, W, 3))
             moments = moments.reshape(P, 2, h, h, 2 * latent_c)
-            if self.vae_mode:
+            if inject_noise:
+                # cross-framework parity mode: ``key`` carries explicit per-role noise
+                # (eps_vae (2,h,h,C), eps_n (2,h,h,C)) shared by both frameworks
+                eps_vae, eps_n = (e[None] for e in key)
+                z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, noise=eps_vae)
+            elif self.vae_mode:
                 z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, mode=True)
             else:
                 eps_vae = jnp.stack(
@@ -81,12 +86,13 @@ class DiffSimDiT(ScorerBase):
                     ]
                 )[None]
                 z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, noise=eps_vae)
-            eps_n = jnp.stack(
-                [
-                    jax.random.normal(prng.role_key(key, prng.NOISE_A), (h, h, latent_c)),
-                    jax.random.normal(prng.role_key(key, prng.NOISE_B), (h, h, latent_c)),
-                ]
-            )[None]
+            if not inject_noise:
+                eps_n = jnp.stack(
+                    [
+                        jax.random.normal(prng.role_key(key, prng.NOISE_A), (h, h, latent_c)),
+                        jax.random.normal(prng.role_key(key, prng.NOISE_B), (h, h, latent_c)),
+                    ]
+                )[None]
             x = (a * z.astype(jnp.float32) + b * eps_n).astype(z.dtype)
 
             # per image: duplicate to batch 2 with y = [cond class 1, null class 1000]
@@ -167,17 +173,24 @@ class DiffSimDiT(ScorerBase):
         similarity: str = "cosine",
         seed: int = 2333,
         blocking: bool = True,
+        noise_override: tuple | None = None,
         **_,
     ):
+        """``noise_override``: (eps_vae, eps_noise), each (2, h, h, latent_c) per-role arrays
+        replacing the seed-derived draws (cross-framework parity mode)."""
         tap = TapSpec("blocks", (self._resolve_layer(target_layer),), "attn1", QKV)
         spec = schedulers.dit_noise_spec(target_step)
         pix, _, P, pad = self._pad_pairs(pix_a, pix_b, None)
-        fn = self._score_fn(tap, similarity)
+        if noise_override is not None:
+            key = tuple(jnp.asarray(e, jnp.float32) for e in noise_override)
+        else:
+            key = jax.random.PRNGKey(int(seed))
+        fn = self._score_fn(tap, similarity, inject_noise=noise_override is not None)
         scores = fn(
             self.params,
             jnp.asarray(pix),
             (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
-            jax.random.PRNGKey(int(seed)),
+            key,
         )
 
         def fetch():

@@ -96,6 +96,13 @@ class DiffSimSD15(ScorerBase):
         # (quirk Q1, /root/reference/diffsim/diffsim_pipeline.py:140-141,208). cfg_parity=False
         # drops the uncond half for a ~2x speedup at the cost of exact score parity.
         self.cfg_parity = cfg_parity and guidance_scale > 1.0
+        if tokenizer is None and params is not None:
+            # same loud-warning contract as _auto_enable_ip: the run keeps working (tests,
+            # throughput) but converted weights + hash-tokenized prompts score garbage
+            print("[tokenizer] weights were supplied but no CLIP tokenizer — falling back to "
+                  "the HashTokenizer, so prompt embeddings are GARBAGE and scores are "
+                  "meaningless. Pass tokenizer=CLIPTokenizer.from_files(vocab.json, "
+                  "merges.txt) (CLI: --tokenizer_dir) for real scoring.")
         self.tokenizer = tokenizer or HashTokenizer(self.text_cfg.vocab_size)
         if params is None:
             # init on the host CPU backend: eager per-leaf ops on the TPU relay cost minutes
@@ -578,29 +585,39 @@ class DiffSimSD15(ScorerBase):
             )[0]
         )
 
+    @functools.lru_cache(maxsize=32)
+    def _tap_values_fn(self, tap: TapSpec):
+        """Compiled-once Q/K/V extraction graph per tap address; the noise constants travel
+        as arguments so retrieval loops calling ``tap_values`` per image reuse one program."""
+
+        def fn(params, pix, embeds, noise_sab, key):
+            model_t, a, b = noise_sab
+            moments = vae.encoder_apply(params["vae"], pix)
+            eps = jax.random.normal(
+                prng.role_key(key, prng.VAE_A),
+                moments.shape[:1] + moments.shape[1:-1] + (moments.shape[-1] // 2,),
+            )
+            z = vae.sample_latents(moments, None, self.vae_cfg.scaling_factor, noise=eps)
+            eps_n = jax.random.normal(prng.role_key(key, prng.NOISE_A), z.shape)
+            x = (a * z.astype(jnp.float32) + b * eps_n).astype(z.dtype)
+            if self.cfg_parity:
+                x = jnp.concatenate([x, x], axis=0)
+                ctx = embeds
+            else:
+                x, ctx = x, embeds[1:2]
+            _, taps = unet.apply(params["unet"], x, jnp.float32(model_t), ctx, self.unet_cfg, tap=tap)
+            return taps["q"], taps["k"], taps["v"]
+
+        return jax.jit(fn)
+
     def tap_values(self, image_a, *, prompt="", target_block="up_blocks", target_layer=(0,),
                    target_step=600, seed=2333):
         """Q/K/V for one image (the reference's ``diffsim_value`` retrieval helper,
         /root/reference/diffsim/diffsim.py:201-258 — implemented with the standard block
         slicing rather than its swapped-slice quirk Q3)."""
         tap = sd15_tap(target_block, target_layer)
-        spec = schedulers.sd15_noise_spec(target_step)
         pix = load_and_process(image_a, self.img_size)
         embeds = self.encode_prompt(prompt)
-        key = jax.random.PRNGKey(int(seed))
-
-        def fn(params, pix, embeds, key):
-            moments = vae.encoder_apply(params["vae"], pix)
-            eps = jax.random.normal(prng.role_key(key, prng.VAE_A), moments.shape[:1] + moments.shape[1:-1] + (moments.shape[-1] // 2,))
-            z = vae.sample_latents(moments, None, self.vae_cfg.scaling_factor, noise=eps)
-            eps_n = jax.random.normal(prng.role_key(key, prng.NOISE_A), z.shape)
-            x = (spec.a * z.astype(jnp.float32) + spec.b * eps_n).astype(z.dtype)
-            if self.cfg_parity:
-                x = jnp.concatenate([x, x], axis=0)
-                ctx = embeds
-            else:
-                x, ctx = x, embeds[1:2]
-            _, taps = unet.apply(params["unet"], x, jnp.float32(spec.model_t), ctx, self.unet_cfg, tap=tap)
-            return taps["q"], taps["k"], taps["v"]
-
-        return jax.jit(fn)(self.params, jnp.asarray(pix, self.dtype), embeds, key)
+        sab, key = self._noise_consts(int(target_step), int(seed))
+        fn = self._tap_values_fn(tap)
+        return fn(self.params, jnp.asarray(pix, self.dtype), embeds, sab, key)

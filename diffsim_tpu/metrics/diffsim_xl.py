@@ -79,6 +79,11 @@ class DiffSimXL(ScorerBase):
         self.mesh = mesh
         self.cfg_parity = cfg_parity
         self.vae_mode = vae_mode
+        if tokenizer is None and params is not None:
+            print("[tokenizer] weights were supplied but no CLIP tokenizer — falling back to "
+                  "the HashTokenizer, so prompt embeddings are GARBAGE and scores are "
+                  "meaningless. Pass tokenizer=/tokenizer2= (CLI: --tokenizer_dir) for real "
+                  "scoring.")
         self.tokenizer = tokenizer or HashTokenizer(self.text_cfg.vocab_size)
         # tokenizer_2 pads with token 0 ("!") rather than EOS
         self.tokenizer2 = tokenizer2 or tokenizer or HashTokenizer(self.text2_cfg.vocab_size)
@@ -125,7 +130,7 @@ class DiffSimXL(ScorerBase):
         return np.asarray([1024.0, 1024.0, 0.0, 0.0, 1024.0, 1024.0], np.float32)
 
     @functools.lru_cache(maxsize=16)
-    def _score_fn(self, tap: TapSpec, similarity: str):
+    def _score_fn(self, tap: TapSpec, similarity: str, inject_noise: bool = False):
         unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
         cfg_parity = self.cfg_parity
         latent_c = vae_cfg.latent_channels
@@ -142,7 +147,12 @@ class DiffSimXL(ScorerBase):
             # fp32 VAE encode, cast latents down (diffsim_xl.py:58-63)
             moments = vae.encoder_apply_chunked(params["vae"], pix.astype(jnp.float32).reshape(P * 2, H, W, 3))
             moments = moments.reshape(P, 2, h, h, 2 * latent_c)
-            if self.vae_mode:
+            if inject_noise:
+                # cross-framework parity mode: ``key`` carries explicit per-role noise
+                # (eps_vae (2,h,w,C), eps_n (2,h,w,C)) shared by both frameworks
+                eps_vae, eps_n = (e[None] for e in key)
+                z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, noise=eps_vae)
+            elif self.vae_mode:
                 z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, mode=True)
             else:
                 eps_vae = jnp.stack(
@@ -153,12 +163,13 @@ class DiffSimXL(ScorerBase):
                 )[None]
                 z = vae.sample_latents(moments, None, vae_cfg.scaling_factor, noise=eps_vae)
             z = z.astype(self.dtype)
-            eps_n = jnp.stack(
-                [
-                    jax.random.normal(prng.role_key(key, prng.NOISE_A), (h, h, latent_c)),
-                    jax.random.normal(prng.role_key(key, prng.NOISE_B), (h, h, latent_c)),
-                ]
-            )[None]
+            if not inject_noise:
+                eps_n = jnp.stack(
+                    [
+                        jax.random.normal(prng.role_key(key, prng.NOISE_A), (h, h, latent_c)),
+                        jax.random.normal(prng.role_key(key, prng.NOISE_B), (h, h, latent_c)),
+                    ]
+                )[None]
             x = (a * z.astype(jnp.float32) + b * eps_n).astype(self.dtype)
 
             seq, hid = embeds.shape[-2:]
@@ -302,7 +313,11 @@ class DiffSimXL(ScorerBase):
         seed: int = 2333,
         ip_adapter: bool = False,
         blocking: bool = True,
+        noise_override: tuple | None = None,
     ):
+        """``noise_override``: (eps_vae, eps_noise), each (2, h, h, latent_c) per-role arrays
+        replacing the seed-derived draws — the cross-framework parity mode where torch and
+        JAX consume identical noise (SURVEY.md "PRNG parity")."""
         tap = sdxl_tap(target_block, target_layer, ip_adapter)
         spec = schedulers.sdxl_noise_spec(target_step)
         prompts = [prompt] * pix_a.shape[0] if isinstance(prompt, str) else list(prompt)
@@ -314,14 +329,18 @@ class DiffSimXL(ScorerBase):
             self._auto_enable_ip()
         ip_uncond = (jnp.asarray(self._ip_uncond) if ip_adapter
                      else jnp.zeros((1, 1, 1), self.dtype))
-        fn = self._score_fn(tap, similarity)
+        if noise_override is not None:
+            key = tuple(jnp.asarray(e, jnp.float32) for e in noise_override)
+        else:
+            key = jax.random.PRNGKey(int(seed))
+        fn = self._score_fn(tap, similarity, inject_noise=noise_override is not None)
         scores = fn(
             self.params,
             jnp.asarray(pix),
             embeds,
             pooled,
             (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
-            jax.random.PRNGKey(int(seed)),
+            key,
             ip_uncond,
         )
 

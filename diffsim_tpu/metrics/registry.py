@@ -70,6 +70,7 @@ def build_metric(args, mesh=None) -> MetricAdapter:
     if name in ("diffsim", "diffeats"):
         from diffsim_tpu.metrics.diffsim_sd15 import DiffSimSD15
 
+        _require_tokenizer(args)
         kw = {}
         if tiny:
             import numpy as _np
@@ -168,6 +169,7 @@ def build_metric(args, mesh=None) -> MetricAdapter:
     if name == "diffsim_xl":
         from diffsim_tpu.metrics.diffsim_xl import DiffSimXL
 
+        _require_tokenizer(args)
         kw = {}
         if tiny:
             import numpy as _np
@@ -189,6 +191,9 @@ def build_metric(args, mesh=None) -> MetricAdapter:
             img_size=args.image_size,
             mesh=mesh,
             cfg_parity=getattr(args, "cfg_parity", True),
+            tokenizer=_load_tokenizer(getattr(args, "tokenizer_dir", None)),
+            # tokenizer_2 pads with "!" (token 0), not EOS — SDXL's published quirk
+            tokenizer2=_load_tokenizer(getattr(args, "tokenizer_dir", None), pad_token="!"),
             **kw,
         )
         if args.ip_adapter:
@@ -293,7 +298,7 @@ def _load_params(path):
     return load_params(path)
 
 
-def _load_tokenizer(path):
+def _load_tokenizer(path, pad_token: str = "<|endoftext|>"):
     if not path:
         return None
     import os
@@ -301,5 +306,18 @@ def _load_tokenizer(path):
     from diffsim_tpu.core.tokenizer import CLIPTokenizer
 
     return CLIPTokenizer.from_files(
-        os.path.join(path, "vocab.json"), os.path.join(path, "merges.txt")
+        os.path.join(path, "vocab.json"), os.path.join(path, "merges.txt"), pad_token
     )
+
+
+def _require_tokenizer(args):
+    """Converted weights + the HashTokenizer fallback silently produce garbage prompt
+    embeddings (the reference encodes prompts inside the scored graph,
+    /root/reference/diffsim/diffsim_pipeline.py:125-141) — refuse unless opted in."""
+    if (getattr(args, "weights", None) and not getattr(args, "tokenizer_dir", None)
+            and not getattr(args, "allow_hash_tokenizer", False)):
+        raise SystemExit(
+            "--weights without --tokenizer_dir: prompt embeddings would be hash-tokenized "
+            "garbage and every score meaningless. Pass --tokenizer_dir DIR (vocab.json + "
+            "merges.txt), or --allow_hash_tokenizer to override for throughput runs."
+        )

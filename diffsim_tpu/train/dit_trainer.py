@@ -11,6 +11,7 @@ resumable), storing {params, ema, opt_state, step}.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -195,6 +196,52 @@ class DiTTrainer:
 
     # ------------------------------------------------------------------
 
+    @functools.lru_cache(maxsize=8)
+    def _sample_fn(self, n: int, cfg_scale, num_steps: int, ddim: bool, decode: bool):
+        """Compiled-once sampling program per (batch, cfg, steps, sampler, decode) shape.
+
+        Params and labels are arguments, not closures: the FID loop
+        (cli/dit_sample.py) calls ``sample`` once per batch, and a per-call jit would both
+        re-trace every batch and bake the parameter tree into the HLO as literals (which the
+        relay's remote-compile helper rejects at full scale — see CLAUDE.md)."""
+        dit_cfg = self.dit_cfg
+        diffusion = gd.create_diffusion(str(num_steps), learn_sigma=dit_cfg.learn_sigma)
+        size = dit_cfg.input_size
+        shape = (n, size, size, dit_cfg.in_channels)
+
+        def fn(params, decoder, labels, key):
+            if cfg_scale is not None:
+                y = jnp.concatenate([labels, jnp.full_like(labels, dit_cfg.num_classes)])
+
+                def model_fn(x, model_t):
+                    xx = jnp.concatenate([x, x])
+                    t = jnp.concatenate([jnp.broadcast_to(model_t, (n,))] * 2)
+                    out, _ = dit.apply(params, xx, t, y, dit_cfg)
+                    eps, rest = out[..., :3], out[..., 3:]
+                    cond, uncond = jnp.split(eps, 2)
+                    guided = uncond + cfg_scale * (cond - uncond)
+                    return jnp.concatenate([guided, rest[:n]], axis=-1)
+            else:
+
+                def model_fn(x, model_t):
+                    t = jnp.broadcast_to(model_t, (n,))
+                    out, _ = dit.apply(params, x, t, labels, dit_cfg)
+                    return out
+
+            loop = diffusion.ddim_sample_loop if ddim else diffusion.p_sample_loop
+            latents = loop(model_fn, shape, key)
+            if decode:
+                return vae.decoder_apply(decoder, latents / self.cfg.vae_scaling, self.vae_cfg)
+            return latents
+
+        if self.mesh is not None:
+            # FID-scale mass sampling (the reference's sample_ddp): the sample batch shards
+            # over the mesh 'data' axis — each chip runs its slice of the denoising loop
+            ds = meshlib.data_sharding(self.mesh)
+            rs = meshlib.replicated(self.mesh)
+            return jax.jit(fn, in_shardings=(rs, rs, rs, rs), out_shardings=ds)
+        return jax.jit(fn)
+
     def sample(self, labels: np.ndarray, key, cfg_scale: float | None = None,
                num_steps: int = 250, use_ema: bool = True, vae_decoder=None,
                ddim: bool = False) -> np.ndarray:
@@ -202,42 +249,7 @@ class DiTTrainer:
         /root/reference/DiT/sample.py:21-68). Returns latents, or images if a decoder tree is
         given."""
         params = self.state["ema"] if use_ema else self.state["params"]
-        dit_cfg = self.dit_cfg
-        diffusion = gd.create_diffusion(str(num_steps), learn_sigma=dit_cfg.learn_sigma)
-        n = len(labels)
-        size = dit_cfg.input_size
-        shape = (n, size, size, dit_cfg.in_channels)
-        labels = jnp.asarray(labels)
-
-        if cfg_scale is not None:
-            y = jnp.concatenate([labels, jnp.full_like(labels, dit_cfg.num_classes)])
-
-            def model_fn(x, model_t):
-                xx = jnp.concatenate([x, x])
-                t = jnp.concatenate([jnp.broadcast_to(model_t, (n,))] * 2)
-                out, _ = dit.apply(params, xx, t, y, dit_cfg)
-                eps, rest = out[..., :3], out[..., 3:]
-                cond, uncond = jnp.split(eps, 2)
-                guided = uncond + cfg_scale * (cond - uncond)
-                return jnp.concatenate([guided, rest[:n]], axis=-1)
-        else:
-
-            def model_fn(x, model_t):
-                t = jnp.broadcast_to(model_t, (n,))
-                out, _ = dit.apply(params, x, t, labels, dit_cfg)
-                return out
-
-        loop = diffusion.ddim_sample_loop if ddim else diffusion.p_sample_loop
-        if self.mesh is not None:
-            # FID-scale mass sampling (the reference's sample_ddp): the sample batch shards
-            # over the mesh 'data' axis — each chip runs its slice of the denoising loop
-            ds = meshlib.data_sharding(self.mesh)
-            latents = jax.jit(
-                lambda k: loop(model_fn, shape, k), out_shardings=ds
-            )(key)
-        else:
-            latents = jax.jit(lambda k: loop(model_fn, shape, k))(key)
-        if vae_decoder is not None:
-            images = vae.decoder_apply(vae_decoder, latents / self.cfg.vae_scaling, self.vae_cfg)
-            return np.asarray(jax.device_get(images))
-        return np.asarray(jax.device_get(latents))
+        fn = self._sample_fn(len(labels), cfg_scale, int(num_steps), bool(ddim),
+                             vae_decoder is not None)
+        out = fn(params, vae_decoder, jnp.asarray(labels), key)
+        return np.asarray(jax.device_get(out))

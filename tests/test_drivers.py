@@ -507,3 +507,32 @@ def test_cli_style_xl_ip_adapter_tiny(data, tmp_path):
         ],
     )
     assert rep.total == 6
+
+
+def test_cli_weights_without_tokenizer_refused(tmp_path):
+    """--weights with the HashTokenizer fallback scores garbage; the CLI must refuse unless
+    --allow_hash_tokenizer (round-2 review: the silent-footgun fix)."""
+    from diffsim_tpu.cli.args import arg_parse
+    from diffsim_tpu.convert.store import save_params
+    from diffsim_tpu.metrics.registry import build_metric
+
+    for metric in ("diffsim", "diffsim_xl"):
+        args = arg_parse(["--metric", metric, "--model_scale", "tiny", "--image_size", "32",
+                          "--target_layer", "0", "--weights", str(tmp_path / "w.npz")])
+        with pytest.raises(SystemExit, match="tokenizer"):
+            build_metric(args)
+
+    # with the override it proceeds (and the scorer prints the loud warning instead)
+    from diffsim_tpu.metrics.diffsim_sd15 import DiffSimSD15
+    from diffsim_tpu.models import clip_text, unet, vae
+
+    sc = DiffSimSD15(unet_cfg=unet.UNetConfig.tiny(), vae_cfg=vae.VAEConfig.tiny(),
+                     text_cfg=clip_text.CLIPTextConfig.tiny(), img_size=32, dtype=np.float32)
+    import jax
+
+    save_params(str(tmp_path / "w.npz"), jax.device_get(sc.params))
+    args = arg_parse(["--metric", "diffsim", "--model_scale", "tiny", "--image_size", "32",
+                      "--target_layer", "0", "--weights", str(tmp_path / "w.npz"),
+                      "--allow_hash_tokenizer"])
+    adapter = build_metric(args)
+    assert adapter is not None

@@ -273,3 +273,67 @@ def test_dino_v1_torch_golden():
     np.testing.assert_allclose(np.asarray(out["last_hidden_state"]), theirs, rtol=1e-4, atol=1e-4)
     # taps carry real attention inputs: (B, heads, tokens, head_dim)
     assert out["taps"]["q"].shape == (2, HEADS, GRID * GRID + 1, H // HEADS)
+
+
+def test_sdxl_dual_tower_prompt_encoding_vs_hf():
+    """The XL prompt-encoding path against REAL HF CLIP text towers: penultimate-hidden
+    concat of both towers + tower-2's projected pooled EOS embedding, with the uncond rows
+    force-zeroed (SDXL base's force_zeros_for_empty_prompt —
+    /root/reference/diffsim/diffsim_xl_pipeline.py:173-192)."""
+    import jax
+    from transformers import CLIPTextConfig as HFCfg, CLIPTextModel, CLIPTextModelWithProjection
+
+    from diffsim_tpu.core.tokenizer import HashTokenizer
+    from diffsim_tpu.metrics.diffsim_xl import DiffSimXL
+    from diffsim_tpu.models import unet as unet_mod, vae as vae_mod
+
+    torch.manual_seed(1)
+    # eos=99 == HashTokenizer(100)'s EOS/pad id, so HF's eos-position pooling and our
+    # argmax pooling select the same token
+    hf1 = CLIPTextModel(HFCfg(vocab_size=100, hidden_size=32, intermediate_size=64,
+                              num_hidden_layers=2, num_attention_heads=2,
+                              max_position_embeddings=77, eos_token_id=99,
+                              bos_token_id=98, pad_token_id=99)).eval()
+    hf2 = CLIPTextModelWithProjection(
+        HFCfg(vocab_size=100, hidden_size=48, intermediate_size=96, num_hidden_layers=3,
+              num_attention_heads=2, max_position_embeddings=77, projection_dim=16,
+              eos_token_id=99, bos_token_id=98, pad_token_id=99)).eval()
+    cfg1 = clip_text.CLIPTextConfig(vocab_size=100, hidden=32, layers=2, heads=2, intermediate=64)
+    cfg2 = clip_text.CLIPTextConfig(vocab_size=100, hidden=48, layers=3, heads=2,
+                                    intermediate=96, projection_dim=16)
+    p1 = TI.convert_clip_text(TI.state_dict_numpy(hf1.text_model), cfg1)
+    p2 = TI.convert_clip_text(TI.state_dict_numpy(hf2), cfg2)
+
+    tok = HashTokenizer(100)
+    scorer = DiffSimXL(
+        params={
+            "unet": unet_mod.init(jax.random.PRNGKey(0),
+                                  unet_mod.UNetConfig.tiny_xl(cross_attention_dim=80),
+                                  np.float32),
+            "vae": vae_mod.encoder_init(jax.random.PRNGKey(1), vae_mod.VAEConfig.tiny(),
+                                        np.float32),
+            "text": p1,
+            "text2": p2,
+        },
+        unet_cfg=unet_mod.UNetConfig.tiny_xl(cross_attention_dim=80),
+        vae_cfg=vae_mod.VAEConfig.tiny(),
+        text_cfg=cfg1, text2_cfg=cfg2, img_size=32, dtype=np.float32,
+        tokenizer=tok, tokenizer2=tok,
+    )
+    prompt = "The photo of a golden cat"
+    embeds, pooled = scorer.encode_prompt(prompt)
+
+    ids = torch.from_numpy(tok([prompt]).astype(np.int64))
+    with torch.no_grad():
+        o1 = hf1(ids, output_hidden_states=True)
+        o2 = hf2(ids, output_hidden_states=True)
+    want_embeds = np.concatenate(
+        [o1.hidden_states[-2].numpy(), o2.hidden_states[-2].numpy()], axis=-1
+    )
+    want_pooled = o2.text_embeds.numpy()
+
+    assert embeds.shape == (2, 77, 32 + 48) and pooled.shape == (2, 16)
+    # uncond rows force-zeroed
+    assert not embeds[0].any() and not pooled[0].any()
+    np.testing.assert_allclose(embeds[1], want_embeds[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(pooled[1], want_pooled[0], rtol=1e-4, atol=1e-4)

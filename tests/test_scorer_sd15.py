@@ -241,3 +241,51 @@ def test_scores_invariant_across_mesh_sizes():
             ref = s
         else:
             np.testing.assert_allclose(s, ref, atol=1e-5), n
+
+
+def test_tap_values_jit_is_cached(scorer, tmp_path):
+    """Retrieval loops call tap_values per image: repeated calls must reuse ONE compiled
+    program (round-2 review: jax.jit(fn) inside the method recompiled per call)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"tv{i}.png"
+        Image.fromarray(rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)).save(p)
+        paths.append(str(p))
+    tap = sd15_tap("up_blocks", (0,))
+    assert scorer._tap_values_fn(tap) is scorer._tap_values_fn(tap)
+    q1, _, _ = scorer.tap_values(paths[0], target_step=600)
+    q2, _, _ = scorer.tap_values(paths[1], target_step=600)
+    assert q1.shape == q2.shape
+    # same image -> identical taps (deterministic seeded noise through the cached program)
+    q1b, _, _ = scorer.tap_values(paths[0], target_step=600)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q1b), atol=0)
+
+
+def test_hash_tokenizer_footgun_warns(scorer, capsys):
+    """Supplying a params tree without a tokenizer must print the loud garbage-scores
+    warning (round-2 review: silent HashTokenizer fallback with real weights)."""
+    params = jax.device_get(scorer.params)
+    capsys.readouterr()
+    DiffSimSD15(
+        params,
+        unet_cfg=unet.UNetConfig.tiny(),
+        vae_cfg=vae.VAEConfig.tiny(),
+        text_cfg=clip_text.CLIPTextConfig.tiny(),
+        img_size=32,
+        dtype=np.float32,
+    )
+    out = capsys.readouterr().out
+    assert "GARBAGE" in out and "tokenizer" in out
+
+    # no params (random-weight/test mode): silent, as before
+    DiffSimSD15(
+        unet_cfg=unet.UNetConfig.tiny(),
+        vae_cfg=vae.VAEConfig.tiny(),
+        text_cfg=clip_text.CLIPTextConfig.tiny(),
+        img_size=32,
+        dtype=np.float32,
+    )
+    assert "GARBAGE" not in capsys.readouterr().out

@@ -97,3 +97,30 @@ def test_serve_fuses_concurrent_requests(server):
     assert calls[0] == server["batcher"]._max_batch
     # distinct pairs -> (almost surely) distinct scores, proving per-caller demux
     assert results[0] != results[1]
+
+
+def test_serve_oversize_request_chunks(server):
+    """A single request larger than the batcher's max_batch must be split into fixed-shape
+    chunks (not scored at an arbitrary shape, which would force a full recompile per size)."""
+    port, paths = server["port"], server["paths"]
+    batcher = server["batcher"]
+    sizes = []
+    real = batcher._score
+
+    def counting(pix_a, pix_b, prompts):
+        sizes.append(len(prompts))
+        return real(pix_a, pix_b, prompts)
+
+    batcher._score = counting
+    try:
+        n = batcher._max_batch + 3
+        pairs = [[paths[i % 2], paths[2 + i % 2]] for i in range(n)]
+        out = _post(port, {"pairs": pairs, "prompt": "x"})
+    finally:
+        batcher._score = real
+    assert len(out["scores"]) == n and all(np.isfinite(out["scores"]))
+    # every device call saw exactly the fixed max_batch shape (padded)
+    assert sizes and all(s == batcher._max_batch for s in sizes)
+    # chunking preserves per-pair identity: a duplicate pair scores identically
+    one = _post(port, {"pairs": [pairs[0]], "prompt": "x"})["scores"][0]
+    np.testing.assert_allclose(out["scores"][0], one, atol=1e-5)

@@ -1,4 +1,5 @@
-"""Generate the committed torch-parity fixture (tests/fixtures/torch_parity_tiny.npz).
+"""Generate the committed torch-parity fixtures (tests/fixtures/torch_parity_tiny.npz and
+tests/fixtures/torch_parity_xl_dit.npz).
 
 Runs entirely in this image (torch CPU + JAX CPU): builds the tiny torch mirror
 (tools/torch_mirror.py) with seeded random weights, records its state_dicts in diffusers
@@ -109,5 +110,134 @@ def main():
     print(f"wrote {path} ({size:.2f} MB, {len(out)} arrays); scores: {scores[:4]} ...")
 
 
+OUT_XL_DIT = os.path.join(
+    os.path.dirname(__file__), "..", "tests", "fixtures", "torch_parity_xl_dit.npz"
+)
+
+
+def _graded_pairs(rng, n_pairs, img):
+    """Pairs graded in similarity so Spearman is meaningful (same scheme as the SD fixture)."""
+    base = rng.uniform(-1, 1, (n_pairs, 3, img, img)).astype(np.float32)
+    other = rng.uniform(-1, 1, (n_pairs, 3, img, img)).astype(np.float32)
+    alpha = np.linspace(0.0, 1.0, n_pairs, dtype=np.float32)[:, None, None, None]
+    return np.stack([base, (1.0 - alpha) * base + alpha * other], axis=1)
+
+
+def main_xl_dit():
+    """SDXL + DiT score-level ground truth: the two scoring paths whose quirk piles
+    (dual-tower embeds + text_time micro-conditioning + init_noise_sigma noising;
+    DDIM-at-raw-t + respaced model timestep + y=[1,null]) had no cross-framework numerical
+    evidence before round 3."""
+    from diffsim_tpu.core import schedulers
+    from tools.torch_dit import DiT as TorchDiT, dit_score_pair
+    from tools.torch_mirror import TinyXLUNet, TinyVAEEncoder, diffsim_xl_score_pair
+
+    out: dict[str, np.ndarray] = {}
+    rng = np.random.default_rng(1)
+
+    # one shared tiny VAE (encoder+decoder so convert_vae consumes a complete AutoencoderKL
+    # state_dict) for both backbones — parity needs consistent weights, not distinct ones
+    torch.manual_seed(3)
+    shared_vae = TinyVAEEncoder().eval()
+    from tools.torch_mirror import TinyVAEDecoder
+
+    shared_dec = TinyVAEDecoder().eval()
+    for mod in (shared_vae, shared_dec):
+        for k, v in mod.state_dict().items():
+            out[f"vae::{k}"] = v.numpy()
+
+    # ---------------- SDXL (UNetConfig.tiny_xl(cross_attention_dim=64)) ----------------
+    torch.manual_seed(1)
+    xl = TinyXLUNet(context_dim=64).eval()
+    xl_vae = shared_vae
+    for k, v in xl.state_dict().items():
+        out[f"xl::unet::{k}"] = v.numpy()
+
+    spec = schedulers.sdxl_noise_spec(900)  # the canonical Sref/style step
+    # force_zeros_for_empty_prompt layout: uncond row is all-zeros
+    embeds = np.concatenate(
+        [np.zeros((1, 77, 64), np.float32), rng.standard_normal((1, 77, 64)).astype(np.float32)]
+    )
+    pooled = np.concatenate(
+        [np.zeros((1, 16), np.float32), rng.standard_normal((1, 16)).astype(np.float32)]
+    )
+    time_ids = np.asarray([1024.0, 1024.0, 0.0, 0.0, 1024.0, 1024.0], np.float32)
+    pair_pix = _graded_pairs(rng, N_PAIRS, IMG)
+    eps_vae = rng.standard_normal((2, 1, 4, LAT, LAT)).astype(np.float32)
+    eps_noise = rng.standard_normal((2, 1, 4, LAT, LAT)).astype(np.float32)
+    # tap: up_blocks [block 0, attention 1, transformer 1] — depth-2 linear-proj blocks and
+    # the 3-index addressing both exercised away from their 0 defaults
+    tap_site = xl.up_blocks[0].attentions[1].transformer_blocks[1].attn1
+    scores = np.asarray(
+        [
+            diffsim_xl_score_pair(
+                xl, xl_vae,
+                torch.from_numpy(pair_pix[i, 0:1]), torch.from_numpy(pair_pix[i, 1:2]),
+                torch.from_numpy(embeds), torch.from_numpy(pooled),
+                torch.from_numpy(time_ids),
+                (torch.from_numpy(eps_vae[0]), torch.from_numpy(eps_vae[1])),
+                (torch.from_numpy(eps_noise[0]), torch.from_numpy(eps_noise[1])),
+                float(spec.model_t), float(spec.a), float(spec.b), tap_site,
+            )
+            for i in range(N_PAIRS)
+        ],
+        np.float32,
+    )
+    out["xl_pair_pixels"] = pair_pix
+    out["xl_embeds"], out["xl_pooled"] = embeds, pooled
+    out["xl_eps_vae"], out["xl_eps_noise"] = eps_vae, eps_noise
+    out["xl_pair_scores"] = scores
+    # forward-level golden too: eps + tap q/k/v for fixed latents
+    latents = rng.standard_normal((1, 4, LAT, LAT)).astype(np.float32)
+    with torch.no_grad():
+        eps = xl(
+            torch.from_numpy(latents), torch.tensor(float(spec.model_t)),
+            torch.from_numpy(embeds[1:2]), torch.from_numpy(pooled[1:2]),
+            torch.from_numpy(time_ids[None]),
+        ).numpy()
+    out["xl_latents"], out["xl_eps"] = latents, eps
+    for name, t in zip("qkv", tap_site.last_qkv):
+        out[f"xl_tap_{name}"] = t.numpy()
+
+    # ---------------- DiT (DiTConfig.tiny(input_size=16, num_classes=10)) ----------------
+    torch.manual_seed(2)
+    dit = TorchDiT(input_size=LAT, patch=2, in_channels=4, hidden=32, depth=2, heads=2,
+                   num_classes=10, learn_sigma=False).eval()
+    dit_vae = shared_vae
+    for k, v in dit.state_dict().items():
+        out[f"dit::model::{k}"] = v.numpy()
+
+    dspec = schedulers.dit_noise_spec(600)
+    dit_pix = _graded_pairs(rng, N_PAIRS, IMG)
+    dit_eps_vae = rng.standard_normal((2, 1, 4, LAT, LAT)).astype(np.float32)
+    dit_eps_noise = rng.standard_normal((2, 1, 4, LAT, LAT)).astype(np.float32)
+    dit_scores = np.asarray(
+        [
+            dit_score_pair(
+                dit, dit_vae, 10,
+                torch.from_numpy(dit_pix[i, 0:1]), torch.from_numpy(dit_pix[i, 1:2]),
+                (torch.from_numpy(dit_eps_vae[0]), torch.from_numpy(dit_eps_vae[1])),
+                (torch.from_numpy(dit_eps_noise[0]), torch.from_numpy(dit_eps_noise[1])),
+                float(dspec.model_t), float(dspec.a), float(dspec.b), tap_layer=1,
+            )
+            for i in range(N_PAIRS)
+        ],
+        np.float32,
+    )
+    out["dit_pair_pixels"] = dit_pix
+    out["dit_eps_vae"], out["dit_eps_noise"] = dit_eps_vae, dit_eps_noise
+    out["dit_pair_scores"] = dit_scores
+    out["dit_model_t"] = np.float32(dspec.model_t)
+
+    path = os.path.abspath(OUT_XL_DIT)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, **out)
+    size = os.path.getsize(path) / 1e6
+    print(f"wrote {path} ({size:.2f} MB, {len(out)} arrays)")
+    print(f"  xl scores: {scores[:4]} ...")
+    print(f"  dit scores: {dit_scores[:4]} ...")
+
+
 if __name__ == "__main__":
     main()
+    main_xl_dit()

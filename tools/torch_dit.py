@@ -48,17 +48,24 @@ def modulate(x, shift, scale):
 
 
 class Attention(nn.Module):
+    """timm-style fused-qkv attention. Stashes the (B, heads, N, hd) q/k/v on
+    ``self.last_qkv`` — the tap the reference's pre-hook captures from the fused projection
+    (q_norm/k_norm are Identity in published DiT configs,
+    /root/reference/diffsim/diffsim_dit.py:19-26)."""
+
     def __init__(self, dim, heads):
         super().__init__()
         self.heads = heads
         self.qkv = nn.Linear(dim, dim * 3, bias=True)
         self.proj = nn.Linear(dim, dim)
+        self.last_qkv = None
 
     def forward(self, x):
         b, n, c = x.shape
         hd = c // self.heads
         qkv = self.qkv(x).reshape(b, n, 3, self.heads, hd).permute(2, 0, 3, 1, 4)
         q, k, v = qkv.unbind(0)
+        self.last_qkv = (q.detach(), k.detach(), v.detach())
         attn = (q @ k.transpose(-2, -1)) * hd**-0.5
         x = (attn.softmax(-1) @ v).transpose(1, 2).reshape(b, n, c)
         return self.proj(x)
@@ -128,3 +135,38 @@ class DiT(nn.Module):
         shift, scale = self.final_layer.adaLN_modulation(c).chunk(2, dim=1)
         x = self.final_layer.linear(modulate(self.final_layer.norm(x), shift, scale))
         return self.unpatchify(x)
+
+
+@torch.no_grad()
+def dit_score_pair(
+    model: DiT,
+    vae,
+    num_classes: int,
+    pix_a: torch.Tensor,
+    pix_b: torch.Tensor,
+    eps_vae,
+    eps_noise,
+    model_t: float,
+    a: float,
+    b: float,
+    tap_layer: int,
+    scaling: float = 0.18215,
+    similarity: str = "cosine",
+) -> float:
+    """One DiT DiffSim pair score with injected noise, the full reference scoring semantics
+    (/root/reference/diffsim/diffsim_dit.py:63-142): VAE encode -> sample -> DDIM add_noise at
+    raw t (a, b from core.schedulers.dit_noise_spec's SD-1.5 scaled_linear table) -> batch-2
+    forward with y=[1, null] at the RESPACED model timestep -> fused-qkv tap -> 4xSDPA
+    readout. pix: (1, 3, H, W) in [-1, 1]."""
+    from tools.torch_mirror import cross_attention_score, sample_latents
+
+    tap_site = model.blocks[tap_layer].attn
+    y = torch.tensor([1, num_classes], dtype=torch.long)
+    qkv = []
+    for pix, ev, en in zip((pix_a, pix_b), eps_vae, eps_noise):
+        z = sample_latents(vae(pix), ev, scaling)
+        x = a * z + b * en
+        x = torch.cat([x, x], dim=0)  # cond + null-class rows
+        model(x, torch.tensor([model_t, model_t]), y)
+        qkv.append(tap_site.last_qkv)
+    return cross_attention_score(qkv[0], qkv[1], similarity)

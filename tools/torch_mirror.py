@@ -397,3 +397,168 @@ def diffsim_score_pair(
         unet(x, torch.tensor(model_t), embeds)
         qkv.append(tap_site.last_qkv)
     return cross_attention_score(qkv[0], qkv[1], similarity)
+
+
+# ---------------------------------------------------------------------------
+# tiny SDXL UNet (mirrors UNetConfig.tiny_xl: chans (32,64), cross (False,True),
+# transformer depth (0,2), mid depth 2, LINEAR projections, text_time addition embed)
+# — every XL-specific mechanism the reference's XL scorer exercises
+# (/root/reference/diffsim/diffsim_xl_pipeline.py:199-262,312-323)
+# ---------------------------------------------------------------------------
+
+
+class LinearTransformer2D(nn.Module):
+    """Transformer2DModel with use_linear_projection=True (the SDXL variant): the reshape
+    happens BEFORE proj_in and AFTER proj_out, with nn.Linear projections."""
+
+    def __init__(self, channels: int, heads: int, context_dim: int, depth: int):
+        super().__init__()
+        self.norm = nn.GroupNorm(32, channels, eps=1e-6)
+        self.proj_in = nn.Linear(channels, channels)
+        self.transformer_blocks = nn.ModuleList(
+            [BasicTransformerBlock(channels, heads, context_dim) for _ in range(depth)]
+        )
+        self.proj_out = nn.Linear(channels, channels)
+
+    def forward(self, x, context):
+        b, c, h, w = x.shape
+        res = x
+        y = self.norm(x).permute(0, 2, 3, 1).reshape(b, h * w, c)
+        y = self.proj_in(y)
+        for blk in self.transformer_blocks:
+            y = blk(y, context)
+        y = self.proj_out(y)
+        y = y.reshape(b, h, w, c).permute(0, 3, 1, 2)
+        return y + res
+
+
+class TinyXLUNet(nn.Module):
+    """Mirrors UNetConfig.tiny_xl(cross_attention_dim=64): heads 2, ted 128,
+    addition_time_embed_dim 8, projection_class_embeddings_input_dim 16 + 8*6."""
+
+    def __init__(self, in_channels=4, out_channels=4, chans=(32, 64), heads=2,
+                 context_dim=64, pooled_dim=16, add_time_dim=8, tdepth=2):
+        super().__init__()
+        ted = chans[0] * 4
+        self.chans, self.heads, self.ted = chans, heads, ted
+        self.add_time_dim = add_time_dim
+
+        self.time_embedding = nn.Module()
+        self.time_embedding.linear_1 = nn.Linear(chans[0], ted)
+        self.time_embedding.linear_2 = nn.Linear(ted, ted)
+        # SDXL 'text_time' addition embedding: concat[pooled text_embeds, sinusoid(time_ids)]
+        self.add_embedding = nn.Module()
+        self.add_embedding.linear_1 = nn.Linear(pooled_dim + add_time_dim * 6, ted)
+        self.add_embedding.linear_2 = nn.Linear(ted, ted)
+        self.conv_in = nn.Conv2d(in_channels, chans[0], 3, padding=1)
+
+        # down 0: plain resnet + downsampler; down 1: cross-attn block (depth-2, linear proj)
+        d0 = nn.Module()
+        d0.resnets = nn.ModuleList([ResnetBlock2D(chans[0], chans[0], ted)])
+        d0.downsamplers = nn.ModuleList([nn.Module()])
+        d0.downsamplers[0].conv = nn.Conv2d(chans[0], chans[0], 3, stride=2, padding=1)
+        d1 = nn.Module()
+        d1.resnets = nn.ModuleList([ResnetBlock2D(chans[0], chans[1], ted)])
+        d1.attentions = nn.ModuleList([LinearTransformer2D(chans[1], heads, context_dim, tdepth)])
+        self.down_blocks = nn.ModuleList([d0, d1])
+
+        self.mid_block = nn.Module()
+        self.mid_block.resnets = nn.ModuleList(
+            [ResnetBlock2D(chans[1], chans[1], ted), ResnetBlock2D(chans[1], chans[1], ted)]
+        )
+        self.mid_block.attentions = nn.ModuleList(
+            [LinearTransformer2D(chans[1], heads, context_dim, tdepth)]
+        )
+
+        # up 0 mirrors down 1 (two attn, upsampler); up 1 mirrors down 0 (plain)
+        u0 = nn.Module()
+        u0.resnets = nn.ModuleList(
+            [ResnetBlock2D(chans[1] + chans[1], chans[1], ted),
+             ResnetBlock2D(chans[1] + chans[0], chans[1], ted)]
+        )
+        u0.attentions = nn.ModuleList(
+            [LinearTransformer2D(chans[1], heads, context_dim, tdepth),
+             LinearTransformer2D(chans[1], heads, context_dim, tdepth)]
+        )
+        u0.upsamplers = nn.ModuleList([nn.Module()])
+        u0.upsamplers[0].conv = nn.Conv2d(chans[1], chans[1], 3, padding=1)
+        u1 = nn.Module()
+        u1.resnets = nn.ModuleList(
+            [ResnetBlock2D(chans[1] + chans[0], chans[0], ted),
+             ResnetBlock2D(chans[0] + chans[0], chans[0], ted)]
+        )
+        self.up_blocks = nn.ModuleList([u0, u1])
+
+        self.conv_norm_out = nn.GroupNorm(32, chans[0], eps=1e-5)
+        self.conv_out = nn.Conv2d(chans[0], out_channels, 3, padding=1)
+
+    def forward(self, x, t, context, text_embeds, time_ids):
+        """x (B,C,H,W); context (B,77,cdim); text_embeds (B,pooled); time_ids (B,6)."""
+        if t.ndim == 0:
+            t = t.expand(x.shape[0])
+        emb = self.time_embedding.linear_2(
+            F.silu(self.time_embedding.linear_1(timestep_embedding(t, self.chans[0])))
+        )
+        tproj = timestep_embedding(time_ids.reshape(-1), self.add_time_dim).reshape(
+            time_ids.shape[0], -1
+        )
+        add = torch.cat([text_embeds, tproj], dim=-1)
+        emb = emb + self.add_embedding.linear_2(F.silu(self.add_embedding.linear_1(add)))
+
+        h = self.conv_in(x)
+        skips = [h]
+        d0, d1 = self.down_blocks
+        h = d0.resnets[0](h, emb)
+        skips.append(h)
+        h = d0.downsamplers[0].conv(h)
+        skips.append(h)
+        h = d1.resnets[0](h, emb)
+        h = d1.attentions[0](h, context)
+        skips.append(h)
+
+        h = self.mid_block.resnets[0](h, emb)
+        h = self.mid_block.attentions[0](h, context)
+        h = self.mid_block.resnets[1](h, emb)
+
+        u0, u1 = self.up_blocks
+        for r, a in zip(u0.resnets, u0.attentions):
+            h = r(torch.cat([h, skips.pop()], dim=1), emb)
+            h = a(h, context)
+        h = F.interpolate(h, scale_factor=2, mode="nearest")
+        h = u0.upsamplers[0].conv(h)
+        for r in u1.resnets:
+            h = r(torch.cat([h, skips.pop()], dim=1), emb)
+        return self.conv_out(F.silu(self.conv_norm_out(h)))
+
+
+@torch.no_grad()
+def diffsim_xl_score_pair(
+    unet: TinyXLUNet,
+    vae: TinyVAEEncoder,
+    pix_a: torch.Tensor,
+    pix_b: torch.Tensor,
+    embeds: torch.Tensor,
+    pooled: torch.Tensor,
+    time_ids: torch.Tensor,
+    eps_vae: tuple[torch.Tensor, torch.Tensor],
+    eps_noise: tuple[torch.Tensor, torch.Tensor],
+    model_t: float,
+    a: float,
+    b: float,
+    tap_site: nn.Module,
+    scaling: float = 0.18215,
+    similarity: str = "cosine",
+) -> float:
+    """One SDXL DiffSim pair score with injected noise: fp32 VAE encode -> sample ->
+    init_noise_sigma/'leading' q_sample (a, b from core.schedulers.sdxl_noise_spec) ->
+    CFG-doubled UNet fwd with text_time micro-conditioning -> tap -> 4xSDPA readout.
+    embeds (2, 77, cdim) [uncond, cond]; pooled (2, pooled_dim); time_ids (6,)."""
+    tids = time_ids[None].expand(2, -1)
+    qkv = []
+    for pix, ev, en in zip((pix_a, pix_b), eps_vae, eps_noise):
+        z = sample_latents(vae(pix), ev, scaling)
+        x = a * z + b * en
+        x = torch.cat([x, x], dim=0)  # CFG duplicate [uncond, cond]
+        unet(x, torch.tensor(model_t), embeds, pooled, tids)
+        qkv.append(tap_site.last_qkv)
+    return cross_attention_score(qkv[0], qkv[1], similarity)
