@@ -35,7 +35,10 @@ def enable_compile_cache():
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/diffsim_tpu_jax_cache")
+        # per-platform dir: CPU-AOT artifacts reloaded under a different feature baseline
+        # print scary (if benign) machine-mismatch warnings when backends share a cache
+        jax.config.update("jax_compilation_cache_dir",
+                          f"/tmp/diffsim_tpu_jax_cache_{jax.default_backend()}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass

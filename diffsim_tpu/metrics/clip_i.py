@@ -94,6 +94,17 @@ class CLIPScore:
             arrays = tuple(np.concatenate([a, np.repeat(a[-1:], pad, 0)]) for a in arrays)
         return arrays, pad
 
+    def _fetchable(self, scores, pad, blocking):
+        """Async contract shared by every batch method: ``blocking=False`` returns a zero-arg
+        fetch callable so the dispatch overlaps the caller's host work (the diffusion
+        scorers' pattern — metrics/diffsim_sd15.score_batch)."""
+
+        def fetch():
+            out = np.asarray(jax.device_get(scores), np.float32)
+            return out[: out.shape[0] - pad] if pad else out
+
+        return fetch() if blocking else fetch
+
     def image_features(self, pixels: np.ndarray, norm: bool = True) -> np.ndarray:
         (pixels,), pad = self._pad(np.asarray(pixels))
         out = np.asarray(self._embed_fn(self.params, jnp.asarray(pixels)))
@@ -109,11 +120,25 @@ class CLIPScore:
 
     # ------------------------------------------------------------------
 
-    def clipi_score_batch(self, pix_a: np.ndarray, pix_b: np.ndarray) -> np.ndarray:
+    @functools.cached_property
+    def _clipi_fn(self):
+        def fn(params, pixels):
+            # pixels (2P, S, S, 3): A images then B images — one program, cosine in-graph
+            out = clip_vision.apply(params["vision"], self._normalize(pixels), self.vision_cfg)
+            emb = out["image_embeds"].astype(jnp.float32)
+            emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+            n = emb.shape[0] // 2
+            return 100.0 * jnp.sum(emb[:n] * emb[n:], axis=-1)
+
+        return self._jit(fn)
+
+    def clipi_score_batch(self, pix_a: np.ndarray, pix_b: np.ndarray,
+                          blocking: bool = True) -> np.ndarray:
         """100 x cosine of normalized image embeddings (clip_i.py:85-96)."""
-        fa = self.image_features(pix_a)
-        fb = self.image_features(pix_b)
-        return 100.0 * np.sum(fa * fb, axis=-1)
+        (pix_a, pix_b), pad = self._pad(np.asarray(pix_a), np.asarray(pix_b))
+        pix = np.concatenate([pix_a, pix_b], axis=0)
+        scores = self._clipi_fn(self.params, jnp.asarray(pix))
+        return self._fetchable(scores, pad, blocking)
 
     def clipt_score_batch(self, texts, pix: np.ndarray) -> np.ndarray:
         ft = self.text_features(texts)
@@ -149,19 +174,19 @@ class CLIPScore:
 
         return self._jit(fn)
 
-    def clip_cross_score_batch(self, pix_a, pix_b, target_layer) -> np.ndarray:
+    def clip_cross_score_batch(self, pix_a, pix_b, target_layer, blocking: bool = True) -> np.ndarray:
         layer = _resolve_layer(target_layer)
         (pix_a, pix_b), pad = self._pad(np.asarray(pix_a), np.asarray(pix_b))
         pix = np.concatenate([pix_a, pix_b], axis=0)
-        out = np.asarray(self._cross_fn(layer, "qkv")(self.params, jnp.asarray(pix)))
-        return out[: out.shape[0] - pad] if pad else out
+        scores = self._cross_fn(layer, "qkv")(self.params, jnp.asarray(pix))
+        return self._fetchable(scores, pad, blocking)
 
-    def clip_feature_score_batch(self, pix_a, pix_b, target_layer) -> np.ndarray:
+    def clip_feature_score_batch(self, pix_a, pix_b, target_layer, blocking: bool = True) -> np.ndarray:
         layer = _resolve_layer(target_layer)
         (pix_a, pix_b), pad = self._pad(np.asarray(pix_a), np.asarray(pix_b))
         pix = np.concatenate([pix_a, pix_b], axis=0)
-        out = np.asarray(self._cross_fn(layer, "output")(self.params, jnp.asarray(pix)))
-        return out[: out.shape[0] - pad] if pad else out
+        scores = self._cross_fn(layer, "output")(self.params, jnp.asarray(pix))
+        return self._fetchable(scores, pad, blocking)
 
     # reference-shaped conveniences -------------------------------------------------
 

@@ -541,6 +541,7 @@ class DiffSimSD15(ScorerBase):
         target_step: int = 600,
         similarity: str = "cosine",
         seed: int = 2333,
+        blocking: bool = True,
     ) -> np.ndarray:
         """DiffFeats ablation: attn1 OUTPUT features, min-max normalized, cosine
         (/root/reference/metrics/diffeats.py:142-205). Unlike the diffsim path, the
@@ -566,8 +567,12 @@ class DiffSimSD15(ScorerBase):
         scores = fn(self.params, roles[0], roles[1], embeds_u, pidx,
                     jnp.zeros((1, 1, 1), self.dtype), jnp.zeros((1, 2, 1, 1), np.float32),
                     sab, key)
-        out = np.asarray(jax.device_get(scores), np.float32)
-        return out[:P] if pad else out
+
+        def fetch():
+            out = np.asarray(jax.device_get(scores), np.float32)
+            return out[:P] if pad else out
+
+        return fetch() if blocking else fetch
 
     def diffsim(self, image_a, image_b, img_size=None, prompt="", target_block="up_blocks",
                 target_layer=(0,), target_step=600, ip_adapter=False, seed=2333,

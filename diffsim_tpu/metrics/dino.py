@@ -81,16 +81,38 @@ class Dinov2Score:
 
         return self._jit(fn)
 
+    def _fetchable(self, scores, pad, blocking):
+        """Async contract shared by every batch method (see metrics/clip_i.py)."""
+
+        def fetch():
+            out = np.asarray(jax.device_get(scores), np.float32)
+            return out[: out.shape[0] - pad] if pad else out
+
+        return fetch() if blocking else fetch
+
     def image_features(self, pixels: np.ndarray) -> np.ndarray:
         (pixels,), pad = self._pad(np.asarray(pixels))
         out = np.asarray(self._cls_fn(self.params, jnp.asarray(pixels)))
         return out[: out.shape[0] - pad] if pad else out
 
-    def dino_score_batch(self, pix_a, pix_b) -> np.ndarray:
+    @functools.cached_property
+    def _pair_fn(self):
+        def fn(params, pixels):
+            # (2P, S, S, 3): A images then B images — cosine in-graph, one dispatch
+            out = dino_model.apply(params, self._normalize(pixels), self.cfg)
+            emb = out["cls"].astype(jnp.float32)
+            emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+            n = emb.shape[0] // 2
+            return 100.0 * jnp.sum(emb[:n] * emb[n:], axis=-1)
+
+        return self._jit(fn)
+
+    def dino_score_batch(self, pix_a, pix_b, blocking: bool = True) -> np.ndarray:
         """100 x cosine of normalized CLS embeddings (dino.py:80-92 semantics)."""
-        fa = self.image_features(pix_a)
-        fb = self.image_features(pix_b)
-        return 100.0 * np.sum(fa * fb, axis=-1)
+        (pix_a, pix_b), pad = self._pad(np.asarray(pix_a), np.asarray(pix_b))
+        pix = np.concatenate([pix_a, pix_b], axis=0)
+        scores = self._pair_fn(self.params, jnp.asarray(pix))
+        return self._fetchable(scores, pad, blocking)
 
     @functools.lru_cache(maxsize=16)
     def _cross_fn(self, layer: int, capture: str):
@@ -113,19 +135,19 @@ class Dinov2Score:
 
         return self._jit(fn)
 
-    def dino_cross_score_batch(self, pix_a, pix_b, target_layer) -> np.ndarray:
+    def dino_cross_score_batch(self, pix_a, pix_b, target_layer, blocking: bool = True) -> np.ndarray:
         layer = _resolve_layer(target_layer)
         (pix_a, pix_b), pad = self._pad(np.asarray(pix_a), np.asarray(pix_b))
         pix = np.concatenate([pix_a, pix_b], axis=0)
-        out = np.asarray(self._cross_fn(layer, "qkv")(self.params, jnp.asarray(pix)))
-        return out[: out.shape[0] - pad] if pad else out
+        scores = self._cross_fn(layer, "qkv")(self.params, jnp.asarray(pix))
+        return self._fetchable(scores, pad, blocking)
 
-    def dino_feature_score_batch(self, pix_a, pix_b, target_layer) -> np.ndarray:
+    def dino_feature_score_batch(self, pix_a, pix_b, target_layer, blocking: bool = True) -> np.ndarray:
         layer = _resolve_layer(target_layer)
         (pix_a, pix_b), pad = self._pad(np.asarray(pix_a), np.asarray(pix_b))
         pix = np.concatenate([pix_a, pix_b], axis=0)
-        out = np.asarray(self._cross_fn(layer, "output")(self.params, jnp.asarray(pix)))
-        return out[: out.shape[0] - pad] if pad else out
+        scores = self._cross_fn(layer, "output")(self.params, jnp.asarray(pix))
+        return self._fetchable(scores, pad, blocking)
 
     # reference-shaped conveniences
     def dino_score(self, image_a, image_b) -> tuple[float, int]:

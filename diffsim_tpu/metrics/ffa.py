@@ -130,10 +130,9 @@ class ForegroundFeatureAveraging:
             return jax.jit(fn, in_shardings=(rs, ds, ds), out_shardings=ds)
         return jax.jit(fn)
 
-    def features(self, rgba_batch: np.ndarray, variant: str = "Crop-Feat",
-                 raw_batch: np.ndarray | None = None) -> np.ndarray:
-        """rgba_batch (B, 336, 336, 4) uint8 matted images; raw_batch optional un-matted
-        pixels for the Crop-Img variant."""
+    def _features_dispatch(self, rgba_batch: np.ndarray, variant: str,
+                           raw_batch: np.ndarray | None = None):
+        """Host mask prep + async device dispatch; returns (device_features, pad)."""
         rgb = rgba_batch[..., :3]
         # normalized-pixel channel-sum reproduces the reference's mask source (it sums the
         # ImageNet-normalized tensor; the minimum is the zeroed background either way)
@@ -155,16 +154,32 @@ class ForegroundFeatureAveraging:
             if pad:
                 pixels = np.concatenate([pixels, np.repeat(pixels[-1:], pad, 0)])
                 masks = np.concatenate([masks, np.repeat(masks[-1:], pad, 0)])
-        out = np.asarray(self._feat_fn(self.params, jnp.asarray(pixels), jnp.asarray(masks)))
+        return self._feat_fn(self.params, jnp.asarray(pixels), jnp.asarray(masks)), pad
+
+    def features(self, rgba_batch: np.ndarray, variant: str = "Crop-Feat",
+                 raw_batch: np.ndarray | None = None) -> np.ndarray:
+        """rgba_batch (B, 336, 336, 4) uint8 matted images; raw_batch optional un-matted
+        pixels for the Crop-Img variant."""
+        dev, pad = self._features_dispatch(rgba_batch, variant, raw_batch)
+        out = np.asarray(dev)
         return out[: out.shape[0] - pad] if pad else out
 
-    def score_batch(self, variant: str, rgba_a: np.ndarray, rgba_b: np.ndarray) -> np.ndarray:
-        fa = self.features(np.asarray(rgba_a), variant)
-        fb = self.features(np.asarray(rgba_b), variant)
-        dot = np.sum(fa * fb, axis=-1)
-        na = np.maximum(np.linalg.norm(fa, axis=-1), 1e-8)
-        nb = np.maximum(np.linalg.norm(fb, axis=-1), 1e-8)
-        return dot / (na * nb)
+    def score_batch(self, variant: str, rgba_a: np.ndarray, rgba_b: np.ndarray,
+                    blocking: bool = True) -> np.ndarray:
+        da, pa = self._features_dispatch(np.asarray(rgba_a), variant)
+        db, pb = self._features_dispatch(np.asarray(rgba_b), variant)
+
+        def fetch():
+            fa = np.asarray(jax.device_get(da), np.float32)
+            fb = np.asarray(jax.device_get(db), np.float32)
+            fa = fa[: fa.shape[0] - pa] if pa else fa
+            fb = fb[: fb.shape[0] - pb] if pb else fb
+            dot = np.sum(fa * fb, axis=-1)
+            na = np.maximum(np.linalg.norm(fa, axis=-1), 1e-8)
+            nb = np.maximum(np.linalg.norm(fb, axis=-1), 1e-8)
+            return dot / (na * nb)
+
+        return fetch() if blocking else fetch
 
     def __call__(self, variant: str, images_a, images_b=None):
         """Reference-shaped API: lists of PIL images (forward, :75-92)."""

@@ -72,7 +72,7 @@ class LPIPS:
             return jax.jit(fn, in_shardings=(rs, ds, ds), out_shardings=ds)
         return jax.jit(fn)
 
-    def score_batch(self, pix_a: np.ndarray, pix_b: np.ndarray) -> np.ndarray:
+    def score_batch(self, pix_a: np.ndarray, pix_b: np.ndarray, blocking: bool = True) -> np.ndarray:
         pix_a, pix_b = np.asarray(pix_a), np.asarray(pix_b)
         pad = 0
         if self.mesh is not None:
@@ -81,8 +81,13 @@ class LPIPS:
             if pad:
                 pix_a = np.concatenate([pix_a, np.repeat(pix_a[-1:], pad, 0)])
                 pix_b = np.concatenate([pix_b, np.repeat(pix_b[-1:], pad, 0)])
-        out = np.asarray(self._fn(self.params, jnp.asarray(pix_a), jnp.asarray(pix_b)))
-        return out[: out.shape[0] - pad] if pad else out
+        scores = self._fn(self.params, jnp.asarray(pix_a), jnp.asarray(pix_b))
+
+        def fetch():
+            out = np.asarray(jax.device_get(scores), np.float32)
+            return out[: out.shape[0] - pad] if pad else out
+
+        return fetch() if blocking else fetch
 
     def __call__(self, pix_a, pix_b):
         return self.score_batch(np.asarray(pix_a), np.asarray(pix_b))

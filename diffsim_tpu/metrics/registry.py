@@ -20,7 +20,11 @@ METRICS = [
 
 @dataclasses.dataclass
 class MetricAdapter:
-    """score_pairs(pix_a (N,H,W,C), pix_b, prompts) -> (N,) scores.
+    """score_pairs(pix_a (N,H,W,C), pix_b, prompts, blocking=True) -> (N,) scores.
+
+    EVERY adapter's score_pairs accepts ``blocking=False`` and then returns a zero-arg fetch
+    callable — the dispatch is asynchronous so the runner overlaps the next batch's host
+    work with this batch's device compute (no synchronous fallback exists in the runner).
 
     ``score_triplets(pix_a, pix_b, pix_c, prompts, blocking=...) -> (s_ab, s_ac)`` is the
     optional fused 2AFC path (image A's work shared across both pairs)."""
@@ -116,11 +120,11 @@ def build_metric(args, mesh=None) -> MetricAdapter:
                         similarity=similarity, seed=args.seed, blocking=blocking,
                     )
         else:
-            def score_pairs(pa, pb, prompts):
+            def score_pairs(pa, pb, prompts, blocking=True):
                 return scorer.score_feats_batch(
                     pa, pb, prompt=prompts, target_block=args.target_block,
                     target_layer=args.target_layer, target_step=args.target_step,
-                    similarity=similarity, seed=args.seed,
+                    similarity=similarity, seed=args.seed, blocking=blocking,
                 )
 
         if name == "diffsim":
@@ -233,12 +237,15 @@ def build_metric(args, mesh=None) -> MetricAdapter:
             kw = dict(vision_cfg=_cv.CLIPVisionConfig.tiny(), text_cfg=_ct.CLIPTextConfig.tiny())
         scorer = CLIPScore(params=_load_params(getattr(args, "weights", None)), mesh=mesh, **kw)
         if name == "clip_i":
-            fn = lambda pa, pb, prompts: scorer.clipi_score_batch(pa, pb)
+            fn = lambda pa, pb, prompts, blocking=True: scorer.clipi_score_batch(
+                pa, pb, blocking=blocking)
             return MetricAdapter(fn, False, preprocess=scorer.preprocess)
         if name == "clip_cross":
-            fn = lambda pa, pb, prompts: scorer.clip_cross_score_batch(pa, pb, args.target_layer)
+            fn = lambda pa, pb, prompts, blocking=True: scorer.clip_cross_score_batch(
+                pa, pb, args.target_layer, blocking=blocking)
             return MetricAdapter(fn, False, preprocess=scorer.preprocess)
-        fn = lambda pa, pb, prompts: scorer.clip_feature_score_batch(pa, pb, args.target_layer)
+        fn = lambda pa, pb, prompts, blocking=True: scorer.clip_feature_score_batch(
+            pa, pb, args.target_layer, blocking=blocking)
         return MetricAdapter(fn, False, preprocess=scorer.preprocess)
 
     if name in ("dino", "dino_cross", "dinofeats", "dinov1"):
@@ -253,25 +260,34 @@ def build_metric(args, mesh=None) -> MetricAdapter:
             params=_load_params(getattr(args, "weights", None)), mesh=mesh, **kw
         )
         if name in ("dino", "dinov1"):
-            fn = lambda pa, pb, prompts: scorer.dino_score_batch(pa, pb)
+            fn = lambda pa, pb, prompts, blocking=True: scorer.dino_score_batch(
+                pa, pb, blocking=blocking)
             return MetricAdapter(fn, False, preprocess=scorer.preprocess)
         if name == "dino_cross":
-            fn = lambda pa, pb, prompts: scorer.dino_cross_score_batch(pa, pb, args.target_layer)
+            fn = lambda pa, pb, prompts, blocking=True: scorer.dino_cross_score_batch(
+                pa, pb, args.target_layer, blocking=blocking)
             return MetricAdapter(fn, False, preprocess=scorer.preprocess)
-        fn = lambda pa, pb, prompts: scorer.dino_feature_score_batch(pa, pb, args.target_layer)
+        fn = lambda pa, pb, prompts, blocking=True: scorer.dino_feature_score_batch(
+            pa, pb, args.target_layer, blocking=blocking)
         return MetricAdapter(fn, False, preprocess=scorer.preprocess)
 
     if name == "lpips":
         from diffsim_tpu.metrics.lpips import LPIPS
 
         scorer = LPIPS(params=_load_params(getattr(args, "weights", None)), mesh=mesh)
-        return MetricAdapter(lambda pa, pb, prompts: scorer.score_batch(pa, pb), True)
+        return MetricAdapter(
+            lambda pa, pb, prompts, blocking=True: scorer.score_batch(pa, pb, blocking=blocking),
+            True,
+        )
 
     if name == "gram":
         from diffsim_tpu.metrics.vgg_gram import VGGGram
 
         scorer = VGGGram(params=_load_params(getattr(args, "weights", None)), mesh=mesh)
-        return MetricAdapter(lambda pa, pb, prompts: scorer.score_batch(pa, pb), False)
+        return MetricAdapter(
+            lambda pa, pb, prompts, blocking=True: scorer.score_batch(pa, pb, blocking=blocking),
+            False,
+        )
 
     if name == "cute":
         from diffsim_tpu.metrics.ffa import ForegroundFeatureAveraging, U2NetMatting
@@ -280,10 +296,20 @@ def build_metric(args, mesh=None) -> MetricAdapter:
         matting_weights = getattr(args, "matting_weights", None)
         if matting_weights:
             matting = U2NetMatting(_load_params(matting_weights))
+        kw = {}
+        if tiny:
+            import dataclasses as _dc
+
+            from diffsim_tpu.models import dinov2 as _d2
+
+            # patch 14 keeps the 336 -> 24x24 patch grid the masked pooling assumes
+            kw = dict(cfg=_dc.replace(_d2.DinoConfig.tiny(), patch=14))
         scorer = ForegroundFeatureAveraging(params=_load_params(getattr(args, "weights", None)),
-                                            mesh=mesh, matting=matting)
+                                            mesh=mesh, matting=matting, **kw)
         return MetricAdapter(
-            lambda pa, pb, prompts: scorer.score_batch("Crop-Feat", pa, pb), False,
+            lambda pa, pb, prompts, blocking=True: scorer.score_batch(
+                "Crop-Feat", pa, pb, blocking=blocking),
+            False,
             preprocess=scorer.preprocess,
         )
 

@@ -57,19 +57,36 @@ class VGGGram:
         h, w = pix.shape[1:3]
         return np.asarray(self._gram_row_fn(h, w)(self.params, jnp.asarray(pix)))
 
-    def score_batch(self, pix_a, pix_b) -> np.ndarray:
-        """Cosine of conv5_1 Gram last rows; accepts stacked arrays or ragged lists."""
-        rows_a = self._rows_any(pix_a)
-        rows_b = self._rows_any(pix_b)
-        dot = np.sum(rows_a * rows_b, axis=-1)
-        na = np.maximum(np.linalg.norm(rows_a, axis=-1), 1e-8)
-        nb = np.maximum(np.linalg.norm(rows_b, axis=-1), 1e-8)
-        return dot / (na * nb)
+    def score_batch(self, pix_a, pix_b, blocking: bool = True) -> np.ndarray:
+        """Cosine of conv5_1 Gram last rows; accepts stacked arrays or ragged lists.
+        All per-shape-bucket programs are dispatched before anything is fetched, so
+        ``blocking=False`` overlaps the whole batch with the caller's host work."""
+        rows_a = self._rows_any_dispatch(pix_a)
+        rows_b = self._rows_any_dispatch(pix_b)
+
+        def fetch():
+            ra = np.concatenate([np.asarray(jax.device_get(r), np.float32) for r in rows_a])
+            rb = np.concatenate([np.asarray(jax.device_get(r), np.float32) for r in rows_b])
+            dot = np.sum(ra * rb, axis=-1)
+            na = np.maximum(np.linalg.norm(ra, axis=-1), 1e-8)
+            nb = np.maximum(np.linalg.norm(rb, axis=-1), 1e-8)
+            return dot / (na * nb)
+
+        return fetch() if blocking else fetch
+
+    def _rows_any_dispatch(self, pix) -> list:
+        """Async dispatch of the per-shape Gram programs; returns device arrays."""
+        if isinstance(pix, np.ndarray):
+            h, w = pix.shape[1:3]
+            return [self._gram_row_fn(h, w)(self.params, jnp.asarray(pix))]
+        out = []
+        for p in pix:
+            p = p[None] if p.ndim == 3 else p
+            out.append(self._gram_row_fn(p.shape[1], p.shape[2])(self.params, jnp.asarray(p)))
+        return out
 
     def _rows_any(self, pix) -> np.ndarray:
-        if isinstance(pix, np.ndarray):
-            return self._gram_rows(pix)
-        return np.concatenate([self._gram_rows(p[None] if p.ndim == 3 else p) for p in pix])
+        return np.concatenate([np.asarray(r) for r in self._rows_any_dispatch(pix)])
 
     def gram_similarity(self, image_a_path, image_b_path, img_size: int = 512) -> float:
         from diffsim_tpu.core.image import load_image

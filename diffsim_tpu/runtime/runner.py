@@ -168,10 +168,9 @@ def run_2afc(
             else:
                 pix_a = np.concatenate([e[0] for e in arrs] * 2, axis=0)
                 pix_bc = np.concatenate([e[1] for e in arrs] + [e[2] for e in arrs], axis=0)
-                try:
-                    result = score_pairs(pix_a, pix_bc, prompts * 2, blocking=False)
-                except TypeError:
-                    result = score_pairs(pix_a, pix_bc, prompts * 2)
+                # every adapter supports async dispatch (MetricAdapter contract) — no
+                # synchronous fallback
+                result = score_pairs(pix_a, pix_bc, prompts * 2, blocking=False)
         drain()
         pending_fetch = (chunk, result)
     drain()
@@ -288,10 +287,7 @@ def run_2afc_ensemble(
                 else:
                     pix_a = np.concatenate([pa, pa], axis=0)
                     pix_bc = np.concatenate([pb, pc], axis=0)
-                    try:
-                        fetches.append(ad.score_pairs(pix_a, pix_bc, prompts * 2, blocking=False))
-                    except TypeError:
-                        fetches.append(ad.score_pairs(pix_a, pix_bc, prompts * 2))
+                    fetches.append(ad.score_pairs(pix_a, pix_bc, prompts * 2, blocking=False))
         drain()
         pending_fetch = (chunk, fetches)
     drain()

@@ -98,9 +98,11 @@ def test_judge_rules():
 def test_run_2afc_with_fake_scorer(data, tmp_path):
     comps = benchmarks.tid2013(data["tid"])
 
-    def fake_scores(pa, pb, prompts):
-        # score = mean brightness agreement -> deterministic, path-independent
-        return np.array([1.0 - abs(float(a.mean()) - float(b.mean())) for a, b in zip(pa, pb)])
+    def fake_scores(pa, pb, prompts, blocking=True):
+        # score = mean brightness agreement -> deterministic, path-independent.
+        # blocking= is part of the MetricAdapter contract (the runner always dispatches async)
+        out = np.array([1.0 - abs(float(a.mean()) - float(b.mean())) for a, b in zip(pa, pb)])
+        return out if blocking else (lambda: out)
 
     out = str(tmp_path / "res.jsonl")
     rep1 = runner.run_2afc(comps, fake_scores, rule=runner.ALWAYS_GREATER, out_path=out,
