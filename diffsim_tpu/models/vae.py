@@ -158,12 +158,19 @@ def sample_latents(moments, key, scaling_factor, noise=None, mode=False):
     return (mean.astype(jnp.float32) + std * eps).astype(mean.dtype) * scaling_factor
 
 
-def encoder_apply_chunked(p, x, chunk: int = 16):
+def encoder_apply_chunked(p, x, chunk: int | None = None):
     """Encode in ``chunk``-image slices via lax.map: full-resolution VAE activations are the
     largest live buffers in the scoring graph (batch x 512^2 x 128ch), and slicing keeps both
     the compiler and HBM within budget at large pair batches. A non-multiple remainder is
-    encoded as one extra slice."""
+    encoded as one extra slice.
+
+    The default chunk scales with resolution and dtype so peak per-slice activation memory
+    stays constant: 16 images at 512px/bf16 (the SD-1.5 production batch), 2 at 1024px/fp32
+    (the SDXL path, which at chunk 16 exceeded HBM — measured 17.04G/15.75G)."""
     n = x.shape[0]
+    if chunk is None:
+        budget = 16 * 512 * 512 * 2  # bytes of input pixels per slice at the 512/bf16 anchor
+        chunk = max(1, budget // (x.shape[1] * x.shape[2] * x.dtype.itemsize))
     if n <= chunk:
         return encoder_apply(p, x)
     main = (n // chunk) * chunk

@@ -216,6 +216,19 @@ def geglu_ff_init(key, dim, mult=4, dtype=jnp.float32):
 
 
 def geglu_ff(p, x):
+    w1, w2 = p["proj_in"]["w"], p["proj_out"]["w"]
+    if x.ndim == 3 and "b" in p["proj_in"] and "b" in p["proj_out"]:
+        from diffsim_tpu.ops.pallas.ff import _block_rows, fused_geglu_ff, use_fused_ff
+
+        b, s, c = x.shape
+        if use_fused_ff(b * s, c, w1.shape[1]):
+            # TPU: tile rows and keep the (rows, 8c) projection in VMEM instead of
+            # round-tripping it through HBM (ops/pallas/ff.py)
+            out = fused_geglu_ff(
+                x.reshape(b * s, c), w1, p["proj_in"]["b"], w2, p["proj_out"]["b"],
+                block_rows=_block_rows(b * s, c),
+            )
+            return out.reshape(b, s, c)
     h, g = jnp.split(linear(p["proj_in"], x), 2, axis=-1)
     return linear(p["proj_out"], h * gelu(g))
 

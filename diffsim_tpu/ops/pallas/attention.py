@@ -9,7 +9,16 @@ spilling scores. K/V for one head at 4096 tokens is ~2 MB — comfortably inside
 VMEM budget (see the repo's pallas guide: VMEM blocks, f32 softmax on the VPU, MXU matmuls
 with preferred_element_type=f32).
 
-Numerics match ops.attention.sdpa (f32 logits/softmax, output cast to the value dtype).
+head_dim 40/80 underfills the MXU's 128-wide contraction/output tiles — an architectural
+bound (~31% peak at hd 40) the committed profile (tools/profile_unet_ops.py) demonstrates.
+What IS controllable is VPU elementwise traffic over the (bq, S) score tile, so the kernel
+minimizes full-tile passes: the softmax scale folds into the exp operand (softmax(s*l) ==
+exp(s*(l - max l)) row-wise), and the 1/sum normalization is deferred past the PV matmul
+onto the (bq, D) output — 2 fewer full-tile passes than scale-then-softmax-then-divide.
+
+Numerics match ops.attention.sdpa (f32 logits/softmax, output cast to the value dtype) up
+to the deferred-normalization rounding (|delta| ~ 1 ulp of the value dtype; the CPU golden
+path never routes here).
 """
 
 from __future__ import annotations
@@ -28,19 +37,36 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     v = v_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    weights = jax.nn.softmax(logits, axis=-1)
-    out = jnp.dot(weights.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0] = out.astype(o_ref.dtype)
+    )
+    # softmax(scale * l) == exp(scale * (l - max l)) / sum(...): one fused elementwise
+    # chain over the score tile instead of separate scale and divide passes
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp((logits - m) * scale)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    pv = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (pv * (1.0 / s)).astype(o_ref.dtype)
+
+
+def _block_q(s: int, d: int) -> int:
+    # keep the f32 score tile near 8 MB (2 MB for wide heads, whose K/V already claim
+    # ~8 MB of VMEM: bq=256 at d=512/S=4096 measured 16.5 MB scoped, over the 16 MB limit)
+    if d > 160:
+        return min(s, 128)
+    if s >= 4096:
+        return 512
+    return s  # <= 2048: whole-row blocks, one grid cell per (batch, head)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q",))
-def fused_self_attention(q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = 512):
-    """(B, H, S, D) self-attention, softmax scale 1/sqrt(D). S must be a multiple of
-    ``block_q`` (the UNet's token counts are powers of two)."""
+def fused_self_attention(q: jax.Array, k: jax.Array, v: jax.Array, block_q: int | None = None):
+    """(B, H, S, D) self-attention, softmax scale 1/sqrt(D). S must be a multiple of the
+    q block (the UNet's token counts are powers of two)."""
     b, h, s, d = q.shape
+    # NOTE: max is taken over UNSCALED logits and the scale folded into exp's operand —
+    # mathematically identical for scale > 0 (see module docstring)
     scale = d**-0.5
-    bq = min(block_q, s)
+    bq = block_q or _block_q(s, d)
+    bq = min(bq, s)
     q3 = q.reshape(b * h, s, d)
     k3 = k.reshape(b * h, s, d)
     v3 = v.reshape(b * h, s, d)
@@ -66,15 +92,20 @@ def fused_self_attention(q: jax.Array, k: jax.Array, v: jax.Array, block_q: int 
     return out.reshape(b, h, s, d)
 
 
-# self-attention sites worth routing through the kernel: long sequences where XLA's
-# materialized logits dominate; short ones stay on the XLA path
-MIN_FUSED_SEQ = 1024
+# self-attention sites worth routing through the kernel: every square UNet site with >= 256
+# tokens. Measured on v5e at the production batch (tools/profile_unet_ops.py): the 256-token
+# hd-160 sites spent 45.7 ms in XLA's materialized-logits path; the kernel keeps their score
+# tiles in VMEM too. 77-token cross-attention stays on XLA (not square, tiny logits).
+# NOT routed: the VAE's single-head d=512 mid attention — double-buffered K+V alone is
+# 16 MB of VMEM at 4096x512 (measured scoped-vmem OOM); it would need K-streaming online
+# softmax, and XLA's path there sits inside a VAE already at ~83% MFU.
+MIN_FUSED_SEQ = 256
 
 
 def use_fused(q_shape, k_shape) -> bool:
     return (
         q_shape[-2] == k_shape[-2]  # self-attention
         and q_shape[-2] >= MIN_FUSED_SEQ
-        and q_shape[-2] % 512 == 0
-        and q_shape[-1] <= 128
+        and q_shape[-2] % 256 == 0
+        and q_shape[-1] <= 160
     )

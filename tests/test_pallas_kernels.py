@@ -12,8 +12,11 @@ from diffsim_tpu.ops.pallas import attention as pattn, readout as pread
 def test_fused_attention_routing_guards():
     assert pattn.use_fused((4, 8, 4096, 40), (4, 8, 4096, 40))
     assert not pattn.use_fused((4, 8, 4096, 40), (4, 8, 77, 40))  # cross-attention
-    assert not pattn.use_fused((4, 8, 256, 40), (4, 8, 256, 40))  # short seq
-    assert not pattn.use_fused((4, 8, 4096, 160), (4, 8, 4096, 160))  # wide head
+    assert pattn.use_fused((4, 8, 256, 40), (4, 8, 256, 40))  # 16x16 sites fuse too
+    assert pattn.use_fused((4, 8, 256, 160), (4, 8, 256, 160))  # hd-160 sites fuse too
+    assert not pattn.use_fused((4, 8, 64, 160), (4, 8, 64, 160))  # mid 8x8: XLA
+    # VAE mid attention (d=512) stays on XLA: its K+V alone blow the VMEM budget
+    assert not pattn.use_fused((16, 1, 4096, 512), (16, 1, 4096, 512))
 
 
 def test_fused_readout_routing_guards():
@@ -70,3 +73,49 @@ def test_fused_readout_interpret_mode():
         a_on_b = pread.fused_direction_score(qa, ka, va, kb, vb, "cosine")
         b_on_a = pread.fused_direction_score(qb, kb, vb, ka, va, "cosine")
     np.testing.assert_allclose(np.asarray((a_on_b + b_on_a) / 2), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_geglu_ff_interpret_mode():
+    """Fused GEGLU FF kernel under the interpreter vs the XLA math path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diffsim_tpu.ops import blocks as B
+    from diffsim_tpu.ops.pallas.ff import fused_geglu_ff
+
+    rng = np.random.default_rng(0)
+    n, c = 64, 32
+    p = {
+        "proj_in": {"w": jnp.asarray(rng.standard_normal((c, 8 * c)), jnp.float32) * 0.1,
+                    "b": jnp.asarray(rng.standard_normal(8 * c), jnp.float32) * 0.1},
+        "proj_out": {"w": jnp.asarray(rng.standard_normal((4 * c, c)), jnp.float32) * 0.1,
+                     "b": jnp.asarray(rng.standard_normal(c), jnp.float32) * 0.1},
+    }
+    x = jnp.asarray(rng.standard_normal((n, c)), jnp.float32)
+    ref = B.geglu_ff(p, x)  # 2-D input + CPU: the XLA path
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_geglu_ff(x, p["proj_in"]["w"], p["proj_in"]["b"],
+                             p["proj_out"]["w"], p["proj_out"]["b"], block_rows=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_ff_guards():
+    from diffsim_tpu.ops.pallas.ff import use_fused_ff
+
+    # conftest forces CPU: never fused there, shapes notwithstanding
+    assert not use_fused_ff(4096 * 144, 320, 2560)
+
+
+def test_fused_attention_wide_head_interpret_mode():
+    """The VAE-style single-head wide-dim path (d > 160 -> 256-row q blocks)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diffsim_tpu.ops.attention import sdpa
+
+    rng = np.random.default_rng(1)
+    b, h, s, d = 2, 1, 256, 512
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32) * 0.1
+               for _ in range(3))
+    with pltpu.force_tpu_interpret_mode():
+        out = pattn.fused_self_attention(q, k, v)
+    ref = sdpa(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
