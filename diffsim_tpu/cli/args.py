@@ -78,7 +78,10 @@ def arg_parse(argv=None):
                              "fallback). Without it, --use_mask generates masks with the "
                              "matting nets this build ships (SAM is torch-only; documented "
                              "divergence).")
-    parser.add_argument("--use_text_attn", action="store_true")
+    parser.add_argument("--use_text_attn", action="store_true",
+                        help="Tap the TEXT cross-attention (attn2) Q/K/V instead of the "
+                             "self-attention, same 4xSDPA readout (the reference declares "
+                             "this flag but never implements it; here it works)")
     parser.add_argument("--seed", type=int, default=2333)
     # --- framework extensions ---
     parser.add_argument("--batch_size", type=int, default=16, help="Comparisons per device batch")

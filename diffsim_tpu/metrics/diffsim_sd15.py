@@ -34,7 +34,7 @@ from diffsim_tpu.parallel import mesh as meshlib
 
 
 def sd15_tap(target_block: str, target_layer, ip_adapter: bool = False,
-             fix_layer_collapse: bool = False) -> TapSpec:
+             fix_layer_collapse: bool = False, text_attn: bool = False) -> TapSpec:
     """Translate the reference CLI addressing into an absolute TapSpec.
 
     Reference semantics (/root/reference/diffsim/diffsim.py:99-145):
@@ -44,13 +44,17 @@ def sd15_tap(target_block: str, target_layer, ip_adapter: bool = False,
     * down taps address ``down_blocks[:-1][L]`` == absolute down block L;
       up taps address ``up_blocks[1:][L]`` == absolute up block L+1; always
       ``attentions[-1].transformer_blocks[-1]``.
+    * ``text_attn`` taps the TEXT cross-attention (attn2) Q/K/V instead of attn1 — the
+      reference declares ``--use_text_attn`` but never implements it
+      (/root/reference/argprocess.py:17 is its only occurrence); this is the capability it
+      promises, run through the same 4xSDPA readout.
     """
     if isinstance(target_layer, (list, tuple)):
         if len(target_layer) == 1:
             target_layer = target_layer[0] if fix_layer_collapse else 0
         else:
             raise ValueError("SD-1.5 takes a single target_layer index")
-    attn = "attn2" if ip_adapter else "attn1"
+    attn = "attn2" if (ip_adapter or text_attn) else "attn1"
     capture = IP_QKV if ip_adapter else QKV
     if target_block == "down_blocks":
         return TapSpec("down", (int(target_layer), -1, -1), attn, capture)
@@ -410,6 +414,7 @@ class DiffSimSD15(ScorerBase):
         fix_layer_collapse: bool = False,
         blocking: bool = True,
         chunk: int | None = None,
+        text_attn: bool = False,
     ):
         """(s_ab, s_ac) for T 2AFC triplets — numerically identical to two score_batch calls,
         sharing A's work. Returns the two (T,) arrays (or a fetch callable).
@@ -418,7 +423,7 @@ class DiffSimSD15(ScorerBase):
         jitted program — one launch + one fetch for the whole batch (the relay charges ~0.5 s
         latency per launch/fetch), with peak activation memory bounded by the chunk size.
         Matches the unchunked path up to XLA fusion-order float rounding."""
-        tap = sd15_tap(target_block, target_layer, False, fix_layer_collapse)
+        tap = sd15_tap(target_block, target_layer, False, fix_layer_collapse, text_attn)
         T = pix_a.shape[0]
         transport = np.uint8 if pix_a.dtype == np.uint8 else self.dtype
         roles = [np.asarray(p).astype(transport, copy=False) for p in (pix_a, pix_b, pix_c)]
@@ -480,6 +485,7 @@ class DiffSimSD15(ScorerBase):
         mask_a: np.ndarray | None = None,
         mask_b: np.ndarray | None = None,
         noise_override: tuple | None = None,
+        text_attn: bool = False,
     ):
         """Score P pairs. pix_a/pix_b: (P, H, W, 3) float32 in [-1, 1] (see core.image).
         ``prompt`` is one string for all pairs or a list of P per-pair strings.
@@ -491,7 +497,7 @@ class DiffSimSD15(ScorerBase):
         ``noise_override``: (eps_vae, eps_noise), each (2, h, w, latent_c) per-role arrays
         replacing the seed-derived draws — the cross-framework parity mode where torch and
         JAX consume identical noise (SURVEY.md "PRNG parity")."""
-        tap = sd15_tap(target_block, target_layer, ip_adapter, fix_layer_collapse)
+        tap = sd15_tap(target_block, target_layer, ip_adapter, fix_layer_collapse, text_attn)
         P = pix_a.shape[0]
         transport_dtype = np.uint8 if pix_a.dtype == np.uint8 else self.dtype
         roles = [np.asarray(p).astype(transport_dtype, copy=False) for p in (pix_a, pix_b)]

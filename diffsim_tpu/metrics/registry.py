@@ -103,12 +103,14 @@ def build_metric(args, mesh=None) -> MetricAdapter:
         u8 = lambda img: process_image_u8(img, args.image_size)
 
         if name == "diffsim":
+            text_attn = bool(getattr(args, "use_text_attn", False))
+
             def score_pairs(pa, pb, prompts, blocking=True, mask_a=None, mask_b=None):
                 return scorer.score_batch(
                     pa, pb, prompt=prompts, target_block=args.target_block,
                     target_layer=args.target_layer, target_step=args.target_step,
                     similarity=similarity, seed=args.seed, ip_adapter=args.ip_adapter,
-                    blocking=blocking, mask_a=mask_a, mask_b=mask_b,
+                    blocking=blocking, mask_a=mask_a, mask_b=mask_b, text_attn=text_attn,
                 )
 
             score_triplets = None
@@ -118,6 +120,7 @@ def build_metric(args, mesh=None) -> MetricAdapter:
                         pa, pb, pc, prompt=prompts, target_block=args.target_block,
                         target_layer=args.target_layer, target_step=args.target_step,
                         similarity=similarity, seed=args.seed, blocking=blocking,
+                        text_attn=text_attn,
                     )
         else:
             def score_pairs(pa, pb, prompts, blocking=True):

@@ -57,16 +57,12 @@ def _block_q(s: int, d: int) -> int:
     return s  # <= 2048: whole-row blocks, one grid cell per (batch, head)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q",))
-def fused_self_attention(q: jax.Array, k: jax.Array, v: jax.Array, block_q: int | None = None):
-    """(B, H, S, D) self-attention, softmax scale 1/sqrt(D). S must be a multiple of the
-    q block (the UNet's token counts are powers of two)."""
+def _forward_impl(q, k, v, block_q):
     b, h, s, d = q.shape
     # NOTE: max is taken over UNSCALED logits and the scale folded into exp's operand —
     # mathematically identical for scale > 0 (see module docstring)
     scale = d**-0.5
-    bq = block_q or _block_q(s, d)
-    bq = min(bq, s)
+    bq = min(block_q, s)
     q3 = q.reshape(b * h, s, d)
     k3 = k.reshape(b * h, s, d)
     v3 = v.reshape(b * h, s, d)
@@ -90,6 +86,51 @@ def fused_self_attention(q: jax.Array, k: jax.Array, v: jax.Array, block_q: int 
         ),
     )(q3, k3, v3)
     return out.reshape(b, h, s, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_core(q, k, v, block_q):
+    return _forward_impl(q, k, v, block_q)
+
+
+def _fused_fwd(q, k, v, block_q):
+    return _forward_impl(q, k, v, block_q), (q, k, v)
+
+
+def _fused_bwd(block_q, res, g):
+    """Standard attention backward in XLA math (f32 softmax recompute) — the training path
+    (DiT blocks under jax.grad) differentiates through the fused forward. Materializes the
+    (S, S) weights in HBM like XLA's own attention backward would; training sequence lengths
+    are <= 1024 tokens (DiT at 512px)."""
+    q, k, v = res
+    d = q.shape[-1]
+    scale = d**-0.5
+    logits = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits * scale, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("...qk,...qd->...kd", w, g32, preferred_element_type=jnp.float32)
+    dp = jnp.einsum("...qd,...kd->...qk", g32, v.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    tmp = (dp - jnp.sum(dp * w, axis=-1, keepdims=True)) * w
+    dq = jnp.einsum("...qk,...kd->...qd", tmp, k.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("...qk,...qd->...kd", tmp, q.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_fused_core.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q",))
+def fused_self_attention(q: jax.Array, k: jax.Array, v: jax.Array, block_q: int | None = None):
+    """(B, H, S, D) self-attention, softmax scale 1/sqrt(D). S must be a multiple of the
+    q block (the UNet's token counts are powers of two). Differentiable: the backward is a
+    custom VJP in XLA math (_fused_bwd), so training graphs (DiT) can route through the
+    fused forward."""
+    s, d = q.shape[-2], q.shape[-1]
+    bq = block_q or _block_q(s, d)
+    return _fused_core(q, k, v, bq)
 
 
 # self-attention sites worth routing through the kernel: every square UNet site with >= 256

@@ -119,3 +119,29 @@ def test_fused_attention_wide_head_interpret_mode():
         out = pattn.fused_self_attention(q, k, v)
     ref = sdpa(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_attention_grad_matches_xla(monkeypatch):
+    """The custom VJP (training path) must match jax.grad through the XLA attention math."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diffsim_tpu.ops.attention import sdpa
+    from diffsim_tpu.ops.pallas.attention import fused_self_attention
+
+    rng = np.random.default_rng(2)
+    b, h, s, d = 1, 2, 256, 32
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32) * 0.3
+               for _ in range(3))
+    g = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa(q, k, v) * g)  # CPU: XLA math path
+
+    with pltpu.force_tpu_interpret_mode():
+        def loss_fused(q, k, v):
+            return jnp.sum(fused_self_attention(q, k, v) * g)
+
+        grads_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(grads_fused, grads_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=2e-4, err_msg=name)

@@ -289,3 +289,19 @@ def test_hash_tokenizer_footgun_warns(scorer, capsys):
         dtype=np.float32,
     )
     assert "GARBAGE" not in capsys.readouterr().out
+
+
+def test_use_text_attn_taps_cross_attention(scorer):
+    """--use_text_attn (declared but dead in the reference, argprocess.py:17): taps the
+    attn2 text cross-attention Q/K/V through the same readout; scores are finite, valid
+    cosines, and differ from the attn1 path."""
+    a, b = _pix(60, 3), _pix(61, 3)
+    s_self = scorer.score_batch(a, b, prompt="a cat", target_step=600)
+    s_text = scorer.score_batch(a, b, prompt="a cat", target_step=600, text_attn=True)
+    assert np.all(np.isfinite(s_text)) and np.all(np.abs(s_text) <= 1.0 + 1e-5)
+    assert not np.allclose(s_text, s_self, atol=1e-4)
+    # triplet path consistency: pair scores == triplet scores under text_attn
+    c = _pix(62, 3)
+    t_ab, t_ac = scorer.score_triplet_batch(a, b, c, prompt="a cat", target_step=600,
+                                            text_attn=True)
+    np.testing.assert_allclose(t_ab, s_text, atol=2e-5)

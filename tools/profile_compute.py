@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--batch", type=int, default=24)  # triplets
     ap.add_argument("--img", type=int, default=512)
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--no_cfg_parity", action="store_true",
+                    help="Profile the documented fast mode (uncond CFG half dropped)")
     args = ap.parse_args()
 
     from diffsim_tpu.core import schedulers
@@ -57,7 +59,7 @@ def main():
     from diffsim_tpu.ops.taps import QKV, TapSpec
 
     T, IMG, REPS = args.batch, args.img, args.reps
-    scorer = DiffSimSD15(img_size=IMG)
+    scorer = DiffSimSD15(img_size=IMG, cfg_parity=not args.no_cfg_parity)
     params = scorer.params
     h = IMG // 8
     dtype = jnp.bfloat16
@@ -72,11 +74,13 @@ def main():
 
     t_vae = scan_timer(lambda p, x: vae.encoder_apply_chunked(p["vae"], x), (params, pix), REPS)
 
+    per_img = 2 if scorer.cfg_parity else 1  # CFG doubling
+    n_in = 3 * per_img * T
     x_in = jax.device_put(
-        np.random.default_rng(1).standard_normal((6 * T, h, h, 4)).astype(np.float32)
+        np.random.default_rng(1).standard_normal((n_in, h, h, 4)).astype(np.float32)
     ).astype(dtype)
     ctx = jax.device_put(
-        np.random.default_rng(2).standard_normal((6 * T, 77, 768)).astype(np.float32)
+        np.random.default_rng(2).standard_normal((n_in, 77, 768)).astype(np.float32)
     ).astype(dtype)
     jax.block_until_ready((x_in, ctx))
 
@@ -87,17 +91,20 @@ def main():
     t_unet = scan_timer(unet_stage, (params, x_in, ctx), REPS)
 
     taps = jax.jit(unet_stage)(params, x_in, ctx)
-    q = taps["q"].reshape((T, 6) + taps["q"].shape[1:])
-    k = taps["k"].reshape((T, 6) + taps["k"].shape[1:])
-    v = taps["v"].reshape((T, 6) + taps["v"].shape[1:])
+    q = taps["q"].reshape((T, 3 * per_img) + taps["q"].shape[1:])
+    k = taps["k"].reshape((T, 3 * per_img) + taps["k"].shape[1:])
+    v = taps["v"].reshape((T, 3 * per_img) + taps["v"].shape[1:])
     jax.block_until_ready((q, k, v))
+    sa = slice(0, per_img)
+    sb = slice(per_img, 2 * per_img)
+    sc = slice(2 * per_img, 3 * per_img)
 
     def readout_stage(q, k, v):
         s_ab = readout.cross_attention_score(
-            q[:, :2], k[:, :2], v[:, :2], q[:, 2:4], k[:, 2:4], v[:, 2:4], "cosine"
+            q[:, sa], k[:, sa], v[:, sa], q[:, sb], k[:, sb], v[:, sb], "cosine"
         )
         s_ac = readout.cross_attention_score(
-            q[:, :2], k[:, :2], v[:, :2], q[:, 4:6], k[:, 4:6], v[:, 4:6], "cosine"
+            q[:, sa], k[:, sa], v[:, sa], q[:, sc], k[:, sc], v[:, sc], "cosine"
         )
         return s_ab + s_ac
 
@@ -118,7 +125,8 @@ def main():
     t_full = (time.perf_counter() - t0) / REPS
 
     pairs = 2 * T
-    print(f"batch={T} triplets ({3*T} images, {6*T} CFG UNet fwds, {pairs} pairs), reps={REPS}")
+    mode = "CFG-parity" if scorer.cfg_parity else "fast (no CFG half)"
+    print(f"batch={T} triplets ({3*T} images, {n_in} UNet fwds, {pairs} pairs, {mode}), reps={REPS}")
     print(f"vae_encode : {t_vae*1e3:8.1f} ms  ({t_vae/pairs*1e3:6.2f} ms/pair)")
     print(f"unet_fwd   : {t_unet*1e3:8.1f} ms  ({t_unet/pairs*1e3:6.2f} ms/pair)")
     print(f"readout    : {t_ro*1e3:8.1f} ms  ({t_ro/pairs*1e3:6.2f} ms/pair)")
