@@ -29,14 +29,14 @@ def sdpa(
     head_dim = q.shape[-1]
     if scale is None:
         scale = head_dim**-0.5
-    if (
-        q.ndim == 4
-        and scale == head_dim**-0.5
-        and jax.devices()[0].platform != "cpu"
-    ):
-        from diffsim_tpu.ops.pallas.attention import fused_self_attention, use_fused
+    if q.ndim == 4 and scale == head_dim**-0.5:
+        from diffsim_tpu.ops.pallas.attention import (
+            fused_self_attention,
+            single_device_tpu,
+            use_fused,
+        )
 
-        if use_fused(q.shape, k.shape):
+        if use_fused(q.shape, k.shape) and single_device_tpu():
             return fused_self_attention(q, k, v)
     logits = jnp.einsum(
         "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32

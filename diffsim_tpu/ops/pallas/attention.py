@@ -143,7 +143,23 @@ def fused_self_attention(q: jax.Array, k: jax.Array, v: jax.Array, block_q: int 
 MIN_FUSED_SEQ = 256
 
 
+def single_device_tpu() -> bool:
+    """Kernel routing guard shared by the pallas dispatchers: TPU platform, one device.
+
+    Multi-chip meshes keep the XLA math path — pallas custom-calls inside a pjit-sharded
+    graph have no SPMD partitioning rule, and no multi-TPU hardware exists in this loop to
+    validate the alternative (virtual meshes are CPU, which never routes here). Set
+    DIFFSIM_TPU_FORCE_PALLAS=1 to override after validating on a real pod."""
+    import os
+
+    if jax.devices()[0].platform == "cpu":
+        return False
+    return jax.device_count() == 1 or os.environ.get("DIFFSIM_TPU_FORCE_PALLAS") == "1"
+
+
 def use_fused(q_shape, k_shape) -> bool:
+    """Shape-only predicate; the platform/device-count gate (single_device_tpu) lives at
+    the dispatch sites (ops.attention.sdpa, geglu_ff, use_fused_readout)."""
     return (
         q_shape[-2] == k_shape[-2]  # self-attention
         and q_shape[-2] >= MIN_FUSED_SEQ

@@ -86,7 +86,9 @@ def _block_rows(n: int, c: int) -> int:
 
 
 def use_fused_ff(n: int, c: int, w1_cols: int) -> bool:
-    if jax.devices()[0].platform == "cpu":
+    from diffsim_tpu.ops.pallas.attention import single_device_tpu
+
+    if not single_device_tpu():
         return False
     bq = _block_rows(n, c)
     return c <= MAX_FUSED_DIM and w1_cols == 8 * c and n % bq == 0 and n >= bq

@@ -107,6 +107,9 @@ def fused_direction_score(qa, ka, va, kb, vb, similarity: str = "cosine") -> jax
 
 def use_fused_readout(q_shape) -> bool:
     """Route through the kernel on TPU for self-attention-shaped taps with aligned sequence
-    lengths; the XLA path handles everything else (cross-attn K of 77 tokens, CPU, odd S)."""
+    lengths; the XLA path handles everything else (cross-attn K of 77 tokens, CPU, odd S,
+    multi-chip meshes — see attention.single_device_tpu)."""
+    from diffsim_tpu.ops.pallas.attention import single_device_tpu
+
     _, _, _, s, d = q_shape
-    return s >= 512 and s % 512 == 0 and d <= 128 and jax.devices()[0].platform != "cpu"
+    return s >= 512 and s % 512 == 0 and d <= 128 and single_device_tpu()
