@@ -68,8 +68,18 @@ class DiffSimXL(ScorerBase):
         tokenizer2=None,
         cfg_parity: bool = True,
         vae_mode: bool = False,
+        vae_fp32: bool = True,
         init_seed: int = 0,
     ):
+        # vae_fp32: the reference encodes with a float32 VAE because SDXL's VAE is unstable
+        # in float16 (/root/reference/diffsim/diffsim_xl.py:58-63 — activation overflow past
+        # fp16's 65504 max). bf16 has float32's exponent RANGE, so that failure mode does not
+        # exist on TPU; vae_fp32=False (CLI --xl_vae_bf16) encodes in bf16. Measured at
+        # 1024px (tools/profile_xl.py): the encode is 55% of per-pair compute but
+        # RESOLUTION-bound, not precision-bound — bf16 buys only ~4% there (520->500 ms,
+        # flat across chunk sizes too); the option matters mainly for HBM headroom. Default
+        # stays fp32 for exact reference parity.
+        self.vae_fp32 = vae_fp32
         self.unet_cfg = unet_cfg or unet.UNetConfig.sdxl()
         self.vae_cfg = vae_cfg or vae.VAEConfig.sdxl()
         self.text_cfg = text_cfg or clip_text.CLIPTextConfig.sd15()
@@ -87,15 +97,23 @@ class DiffSimXL(ScorerBase):
         self.tokenizer = tokenizer or HashTokenizer(self.text_cfg.vocab_size)
         # tokenizer_2 pads with token 0 ("!") rather than EOS
         self.tokenizer2 = tokenizer2 or tokenizer or HashTokenizer(self.text2_cfg.vocab_size)
+        self._enc_dtype = jnp.float32 if vae_fp32 else dtype
         if params is None:
             with jax.default_device(jax.local_devices(backend="cpu")[0]):
                 ku, kv, k1, k2 = jax.random.split(jax.random.PRNGKey(init_seed), 4)
                 params = {
                     "unet": unet.init(ku, self.unet_cfg, dtype),
-                    "vae": vae.encoder_init(kv, self.vae_cfg, jnp.float32),  # fp32 VAE encode
+                    "vae": vae.encoder_init(kv, self.vae_cfg, self._enc_dtype),
                     "text": clip_text.init(k1, self.text_cfg, dtype),
                     "text2": clip_text.init(k2, self.text2_cfg, dtype),
                 }
+        elif not vae_fp32:
+            params = dict(params)
+            params["vae"] = jax.tree_util.tree_map(
+                lambda a: np.asarray(a, self._enc_dtype)
+                if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+                params["vae"],
+            )
         self.params = self._place(params)
         self._prompt_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -144,8 +162,10 @@ class DiffSimXL(ScorerBase):
             h = H // down
             if pix.dtype == jnp.uint8:
                 pix = pix.astype(jnp.float32) / 127.5 - 1.0
-            # fp32 VAE encode, cast latents down (diffsim_xl.py:58-63)
-            moments = vae.encoder_apply_chunked(params["vae"], pix.astype(jnp.float32).reshape(P * 2, H, W, 3))
+            # fp32 VAE encode by default, cast latents down (diffsim_xl.py:58-63);
+            # bf16 when vae_fp32=False (see __init__)
+            moments = vae.encoder_apply_chunked(
+                params["vae"], pix.astype(self._enc_dtype).reshape(P * 2, H, W, 3))
             moments = moments.reshape(P, 2, h, h, 2 * latent_c)
             if inject_noise:
                 # cross-framework parity mode: ``key`` carries explicit per-role noise
@@ -247,7 +267,7 @@ class DiffSimXL(ScorerBase):
             if pix.dtype == jnp.uint8:
                 pix = pix.astype(jnp.float32) / 127.5 - 1.0
             moments = vae.encoder_apply_chunked(
-                params["vae"], pix.astype(jnp.float32).reshape(T * 3, H, W, 3)
+                params["vae"], pix.astype(self._enc_dtype).reshape(T * 3, H, W, 3)
             )
             moments = moments.reshape(T, 3, h, h, 2 * latent_c)
             eps_a = jax.random.normal(prng.role_key(key, prng.VAE_A), (h, h, latent_c))

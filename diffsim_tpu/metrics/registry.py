@@ -198,6 +198,7 @@ def build_metric(args, mesh=None) -> MetricAdapter:
             img_size=args.image_size,
             mesh=mesh,
             cfg_parity=getattr(args, "cfg_parity", True),
+            vae_fp32=not getattr(args, "xl_vae_bf16", False),
             tokenizer=_load_tokenizer(getattr(args, "tokenizer_dir", None)),
             # tokenizer_2 pads with "!" (token 0), not EOS — SDXL's published quirk
             tokenizer2=_load_tokenizer(getattr(args, "tokenizer_dir", None), pad_token="!"),

@@ -126,3 +126,33 @@ def test_dit_triplet_bit_identical(dit_scorer):
     s_ab, s_ac = dit_scorer.score_triplet_batch(a, b, c, **kw)
     np.testing.assert_array_equal(s_ab, dit_scorer.score_batch(a, b, **kw))
     np.testing.assert_array_equal(s_ac, dit_scorer.score_batch(a, c, **kw))
+
+
+def test_xl_bf16_vae_mode(xl_scorer):
+    """vae_fp32=False (CLI --xl_vae_bf16): the VAE tree is cast to the compute dtype and
+    scores track the fp32-VAE default within bf16 tolerance (the reference's fp32-VAE
+    workaround targets fp16 overflow, which bf16's exponent range does not have)."""
+    import jax
+    import jax.numpy as jnp
+
+    text2_cfg = clip_text.CLIPTextConfig(
+        vocab_size=1000, hidden=32, layers=2, heads=2, intermediate=64, projection_dim=16
+    )
+    kw = dict(
+        unet_cfg=unet.UNetConfig.tiny_xl(cross_attention_dim=64),
+        vae_cfg=vae.VAEConfig.tiny(),
+        text_cfg=clip_text.CLIPTextConfig.tiny(),
+        text2_cfg=text2_cfg,
+        img_size=32,
+        dtype=jnp.bfloat16,
+    )
+    ref = DiffSimXL(**kw)
+    fast = DiffSimXL(params=jax.device_get(ref.params), vae_fp32=False, **kw)
+    leaf = jax.tree_util.tree_leaves(fast.params["vae"])[0]
+    assert leaf.dtype == jnp.bfloat16
+    assert jax.tree_util.tree_leaves(ref.params["vae"])[0].dtype == jnp.float32
+
+    a, b = _pix(70, 3), _pix(71, 3)
+    s_ref = ref.score_batch(a, b, target_layer=(0, 1, 1), target_step=900)
+    s_fast = fast.score_batch(a, b, target_layer=(0, 1, 1), target_step=900)
+    np.testing.assert_allclose(s_fast, s_ref, atol=0.05)
