@@ -26,18 +26,13 @@ import numpy as np
 BASELINE_PAIRS_PER_SEC = 2.2
 
 
-def bench_xl(windows: int, iters: int = 2, batch_triplets: int = 2) -> dict:
-    import jax
-
-    from diffsim_tpu.metrics.diffsim_xl import DiffSimXL
-
-    img = 1024
-    scorer = DiffSimXL(img_size=img)
+def _bench_scorer(scorer, metric_name: str, img: int, windows: int, iters: int, T: int,
+                  **kwargs) -> dict:
+    """Shared timing protocol: async-queue ``iters`` triplet batches per window, fetch all
+    (the fetch is what waits for remote execution — CLAUDE.md relay semantics), best-of-N
+    windows with the median alongside."""
     rng = np.random.default_rng(0)
-    T = batch_triplets
     pix = [rng.integers(0, 256, (T, img, img, 3), dtype=np.uint8) for _ in range(3)]
-    kwargs = dict(prompt="The photo of a benchmark", target_block="up_blocks",
-                  target_layer=(0, 1, 1), target_step=900, similarity="cosine", seed=2334)
     scorer.score_triplet_batch(*pix, **kwargs)  # compile + warm
     times = []
     for _ in range(windows):
@@ -50,43 +45,34 @@ def bench_xl(windows: int, iters: int = 2, batch_triplets: int = 2) -> dict:
     pairs = iters * T * 2
     best = pairs / min(times)
     return {
-        "metric": "sdxl_diffsim_pairs_per_sec_per_chip_1024px",
+        "metric": metric_name,
         "value": round(best, 3),
         "unit": "pairs/s/chip",
         "vs_baseline": round(best / BASELINE_PAIRS_PER_SEC, 2),
         "median": round(pairs / float(np.median(times)), 3),
         "windows": len(times),
     }
+
+
+def bench_xl(windows: int, iters: int = 2, batch_triplets: int = 2) -> dict:
+    from diffsim_tpu.metrics.diffsim_xl import DiffSimXL
+
+    return _bench_scorer(
+        DiffSimXL(img_size=1024), "sdxl_diffsim_pairs_per_sec_per_chip_1024px", 1024,
+        windows, iters, batch_triplets,
+        prompt="The photo of a benchmark", target_block="up_blocks",
+        target_layer=(0, 1, 1), target_step=900, similarity="cosine", seed=2334,
+    )
 
 
 def bench_dit(windows: int, iters: int = 4, batch_triplets: int = 8) -> dict:
     from diffsim_tpu.metrics.diffsim_dit import DiffSimDiT
 
-    img = 512
-    scorer = DiffSimDiT(img_size=img)
-    rng = np.random.default_rng(0)
-    T = batch_triplets
-    pix = [rng.integers(0, 256, (T, img, img, 3), dtype=np.uint8) for _ in range(3)]
-    kwargs = dict(target_layer=13, target_step=600, similarity="cosine", seed=2334)
-    scorer.score_triplet_batch(*pix, **kwargs)
-    times = []
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        fetches = [scorer.score_triplet_batch(*pix, blocking=False, **kwargs)
-                   for _ in range(iters)]
-        for f in fetches:
-            f()
-        times.append(time.perf_counter() - t0)
-    pairs = iters * T * 2
-    best = pairs / min(times)
-    return {
-        "metric": "dit_diffsim_pairs_per_sec_per_chip_512px",
-        "value": round(best, 3),
-        "unit": "pairs/s/chip",
-        "vs_baseline": round(best / BASELINE_PAIRS_PER_SEC, 2),
-        "median": round(pairs / float(np.median(times)), 3),
-        "windows": len(times),
-    }
+    return _bench_scorer(
+        DiffSimDiT(img_size=512), "dit_diffsim_pairs_per_sec_per_chip_512px", 512,
+        windows, iters, batch_triplets,
+        target_layer=13, target_step=600, similarity="cosine", seed=2334,
+    )
 
 
 def main():

@@ -74,6 +74,16 @@ class CLIPTokenizer:
                 merges.append((parts[0], parts[1]))
         return CLIPTokenizer(vocab, merges, pad_token)
 
+    def with_pad_token(self, pad_token: str) -> "CLIPTokenizer":
+        """A view sharing the parsed vocab/merge tables with a different pad id — SDXL's
+        tokenizer-2 is the same BPE padded with "!" (token 0) instead of EOS; re-parsing the
+        ~1.5 MB asset files for that is wasted startup work."""
+        import copy
+
+        t = copy.copy(self)
+        t.pad_id = self.encoder[pad_token] if pad_token in self.encoder else self.eos_id
+        return t
+
     def _bpe(self, token: str) -> list[str]:
         if token in self._cache:
             return self._cache[token]

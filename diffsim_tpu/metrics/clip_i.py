@@ -95,15 +95,9 @@ class CLIPScore:
         return arrays, pad
 
     def _fetchable(self, scores, pad, blocking):
-        """Async contract shared by every batch method: ``blocking=False`` returns a zero-arg
-        fetch callable so the dispatch overlaps the caller's host work (the diffusion
-        scorers' pattern — metrics/diffsim_sd15.score_batch)."""
+        from diffsim_tpu.metrics.scorer_base import fetchable
 
-        def fetch():
-            out = np.asarray(jax.device_get(scores), np.float32)
-            return out[: out.shape[0] - pad] if pad else out
-
-        return fetch() if blocking else fetch
+        return fetchable(scores, pad, blocking)
 
     def image_features(self, pixels: np.ndarray, norm: bool = True) -> np.ndarray:
         (pixels,), pad = self._pad(np.asarray(pixels))

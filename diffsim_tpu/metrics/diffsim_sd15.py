@@ -573,12 +573,9 @@ class DiffSimSD15(ScorerBase):
         scores = fn(self.params, roles[0], roles[1], embeds_u, pidx,
                     jnp.zeros((1, 1, 1), self.dtype), jnp.zeros((1, 2, 1, 1), np.float32),
                     sab, key)
+        from diffsim_tpu.metrics.scorer_base import fetchable
 
-        def fetch():
-            out = np.asarray(jax.device_get(scores), np.float32)
-            return out[:P] if pad else out
-
-        return fetch() if blocking else fetch
+        return fetchable(scores, pad, blocking)
 
     def diffsim(self, image_a, image_b, img_size=None, prompt="", target_block="up_blocks",
                 target_layer=(0,), target_step=600, ip_adapter=False, seed=2333,

@@ -82,13 +82,9 @@ class Dinov2Score:
         return self._jit(fn)
 
     def _fetchable(self, scores, pad, blocking):
-        """Async contract shared by every batch method (see metrics/clip_i.py)."""
+        from diffsim_tpu.metrics.scorer_base import fetchable
 
-        def fetch():
-            out = np.asarray(jax.device_get(scores), np.float32)
-            return out[: out.shape[0] - pad] if pad else out
-
-        return fetch() if blocking else fetch
+        return fetchable(scores, pad, blocking)
 
     def image_features(self, pixels: np.ndarray) -> np.ndarray:
         (pixels,), pad = self._pad(np.asarray(pixels))

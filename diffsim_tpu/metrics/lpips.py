@@ -82,12 +82,9 @@ class LPIPS:
                 pix_a = np.concatenate([pix_a, np.repeat(pix_a[-1:], pad, 0)])
                 pix_b = np.concatenate([pix_b, np.repeat(pix_b[-1:], pad, 0)])
         scores = self._fn(self.params, jnp.asarray(pix_a), jnp.asarray(pix_b))
+        from diffsim_tpu.metrics.scorer_base import fetchable
 
-        def fetch():
-            out = np.asarray(jax.device_get(scores), np.float32)
-            return out[: out.shape[0] - pad] if pad else out
-
-        return fetch() if blocking else fetch
+        return fetchable(scores, pad, blocking)
 
     def __call__(self, pix_a, pix_b):
         return self.score_batch(np.asarray(pix_a), np.asarray(pix_b))

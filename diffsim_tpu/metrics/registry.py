@@ -193,15 +193,16 @@ def build_metric(args, mesh=None) -> MetricAdapter:
                 ),
                 dtype=_np.float32,
             )
+        tokenizer = _load_tokenizer(getattr(args, "tokenizer_dir", None))
         scorer = DiffSimXL(
             params=_load_params(getattr(args, "weights", None)),
             img_size=args.image_size,
             mesh=mesh,
             cfg_parity=getattr(args, "cfg_parity", True),
             vae_fp32=not getattr(args, "xl_vae_bf16", False),
-            tokenizer=_load_tokenizer(getattr(args, "tokenizer_dir", None)),
+            tokenizer=tokenizer,
             # tokenizer_2 pads with "!" (token 0), not EOS — SDXL's published quirk
-            tokenizer2=_load_tokenizer(getattr(args, "tokenizer_dir", None), pad_token="!"),
+            tokenizer2=tokenizer.with_pad_token("!") if tokenizer else None,
             **kw,
         )
         if args.ip_adapter:

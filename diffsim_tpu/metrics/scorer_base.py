@@ -8,6 +8,18 @@ import numpy as np
 from diffsim_tpu.parallel import mesh as meshlib
 
 
+def fetchable(scores, pad: int, blocking: bool):
+    """The MetricAdapter async contract in one place: ``blocking=True`` fetches the (N,)
+    scores now; ``blocking=False`` returns a zero-arg fetch callable so dispatch overlaps
+    the caller's host work. ``pad`` rows (mesh padding) are stripped on fetch."""
+
+    def fetch():
+        out = np.asarray(jax.device_get(scores), np.float32)
+        return out[: out.shape[0] - pad] if pad else out
+
+    return fetch() if blocking else fetch
+
+
 class ScorerBase:
     mesh = None
     dtype = None

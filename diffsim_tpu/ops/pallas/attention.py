@@ -48,13 +48,19 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
 
 
 def _block_q(s: int, d: int) -> int:
-    # keep the f32 score tile near 8 MB (2 MB for wide heads, whose K/V already claim
-    # ~8 MB of VMEM: bq=256 at d=512/S=4096 measured 16.5 MB scoped, over the 16 MB limit)
-    if d > 160:
-        return min(s, 128)
-    if s >= 4096:
-        return 512
-    return s  # <= 2048: whole-row blocks, one grid cell per (batch, head)
+    """Largest power-of-two q block that (a) DIVIDES s — the grid is s // bq, so a
+    non-divisor leaves the last rows of every (batch, head) unwritten — and (b) keeps the
+    f32 score tile within ~8 MB of VMEM (2 MB cap for wide heads, whose K/V already claim
+    ~8 MB: bq=256 at d=512/S=4096 measured 16.5 MB scoped, over the 16 MB limit).
+
+    s is a multiple of 256 (use_fused), so s & -s >= 256 and every halving below it still
+    divides s."""
+    cap = 128 if d > 160 else 1024
+    bq = min(cap, s & (-s), s)  # s & -s: largest power-of-two divisor of s
+    budget = (2 if d > 160 else 8) * 1024 * 1024
+    while bq > 128 and bq * s * 4 > budget:
+        bq //= 2
+    return bq
 
 
 def _forward_impl(q, k, v, block_q):

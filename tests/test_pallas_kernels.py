@@ -145,3 +145,29 @@ def test_fused_attention_grad_matches_xla(monkeypatch):
     grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for gf, gr, name in zip(grads_fused, grads_ref, "qkv"):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=2e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("s,d", [(1280, 40), (2304, 80)])
+def test_fused_attention_non_pow2_seq_full_coverage(s, d):
+    """Review regression: sequence lengths that are multiples of 256 but not of 512 (image
+    sizes 640/768/896...) used to get a q block that did not divide s — the grid's floor
+    division left the last rows of every (batch, head) UNWRITTEN (NaN/garbage scores on the
+    real TPU, invisible to CPU tests). _block_q must return a divisor of s within the VMEM
+    budget."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diffsim_tpu.ops.attention import sdpa
+    from diffsim_tpu.ops.pallas.attention import _block_q, fused_self_attention, use_fused
+
+    assert use_fused((1, 1, s, d), (1, 1, s, d))
+    bq = _block_q(s, d)
+    assert s % bq == 0, (s, bq)
+    assert bq * s * 4 <= 8 * 1024 * 1024, (s, bq)
+
+    rng = np.random.default_rng(s)
+    q, k, v = (jnp.asarray(rng.standard_normal((1, 1, s, d)), jnp.float32) * 0.3
+               for _ in range(3))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(fused_self_attention(q, k, v))
+    assert np.isfinite(out).all(), "unwritten rows"
+    np.testing.assert_allclose(out, np.asarray(sdpa(q, k, v)), atol=2e-5)

@@ -337,3 +337,26 @@ def test_sdxl_dual_tower_prompt_encoding_vs_hf():
     assert not embeds[0].any() and not pooled[0].any()
     np.testing.assert_allclose(embeds[1], want_embeds[0], rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(pooled[1], want_pooled[0], rtol=1e-4, atol=1e-4)
+
+
+def test_tokenizer_with_pad_token_shares_tables(tmp_path):
+    """SDXL tokenizer-2 view: same parsed tables, different pad id (no asset re-parse)."""
+    import json as _json
+
+    from diffsim_tpu.core.tokenizer import CLIPTokenizer, bytes_to_unicode
+
+    chars = sorted(set(bytes_to_unicode().values()))
+    vocab = {c: i for i, c in enumerate(chars)}
+    for c in chars:
+        vocab[c + "</w>"] = len(vocab)
+    for s in ("<|startoftext|>", "<|endoftext|>"):
+        vocab[s] = len(vocab)
+    vj, mt = tmp_path / "vocab.json", tmp_path / "merges.txt"
+    vj.write_text(_json.dumps(vocab))
+    mt.write_text("#version: 0.2\n")
+    tok = CLIPTokenizer.from_files(str(vj), str(mt))
+    tok2 = tok.with_pad_token("!")
+    assert tok2.encoder is tok.encoder and tok2.bpe_ranks is tok.bpe_ranks
+    assert tok2.pad_id == vocab["!"] and tok.pad_id == tok.eos_id
+    ids2 = tok2(["a"])[0]
+    assert ids2[0] == tok.bos_id and (ids2[3:] == vocab["!"]).all()
