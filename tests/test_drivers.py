@@ -538,3 +538,20 @@ def test_cli_weights_without_tokenizer_refused(tmp_path):
                       "--allow_hash_tokenizer"])
     adapter = build_metric(args)
     assert adapter is not None
+
+
+def test_cli_xl_vae_bf16_flag(data, tmp_path):
+    """--xl_vae_bf16 wires through the registry to the XL scorer (tiny/CPU: the cast is a
+    no-op at f32 compute, but the construction path and flag parsing are exercised)."""
+    from diffsim_tpu.cli.args import arg_parse
+    from diffsim_tpu.metrics.registry import build_metric
+
+    args = arg_parse(["--metric", "diffsim_xl", "--model_scale", "tiny", "--image_size", "32",
+                      "--target_layer", "0", "0", "1", "--target_step", "900",
+                      "--similarity", "cosine", "--xl_vae_bf16"])
+    adapter = build_metric(args)
+    rng = np.random.default_rng(0)
+    pa = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    pb = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    out = adapter.score_pairs(pa, pb, ["x", "x"])
+    assert np.all(np.isfinite(out)) and out.shape == (2,)
