@@ -121,12 +121,14 @@ def main(argv=None):
                 running = []
                 t0 = time.time()
             if steps % args.ckpt_every == 0:
-                # rank-0-only save (the reference's pattern, /root/reference/DiT/train.py:
-                # 232-244): state is replicated, so process 0 holds the full tree; concurrent
-                # orbax saves from every host to one shared path would race
+                # EVERY process calls save (unlike the reference's torch rank-0 pattern,
+                # /root/reference/DiT/train.py:232-244): orbax's checkpointer runs cross-
+                # process sync barriers internally and writes replicated trees once from the
+                # primary host — a rank-0-only call would leave process 0 blocked at the
+                # barrier (or desync later collectives) on multi-host runs
+                path = os.path.abspath(os.path.join(args.results_dir, f"ckpt_{steps:07d}"))
+                trainer.save(path)
                 if jax.process_index() == 0:
-                    path = os.path.abspath(os.path.join(args.results_dir, f"ckpt_{steps:07d}"))
-                    trainer.save(path)
                     logger.info(f"saved checkpoint to {path}")
             if args.max_steps and steps >= args.max_steps:
                 logger.info("done (max_steps)")

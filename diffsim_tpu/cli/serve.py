@@ -34,13 +34,16 @@ from diffsim_tpu.core.image import ImageLoader, load_image
 
 
 class _Work:
-    __slots__ = ("pix_a", "pix_b", "prompts", "event", "scores", "error")
+    __slots__ = ("pix_a", "pix_b", "prompts", "event", "scores", "error", "cancelled",
+                 "siblings")
 
     def __init__(self, pix_a, pix_b, prompts):
         self.pix_a, self.pix_b, self.prompts = pix_a, pix_b, prompts
         self.event = threading.Event()
         self.scores = None
         self.error = None
+        self.cancelled = False  # set when a sibling chunk of the same request failed
+        self.siblings = ()  # chunks of the same oversize request (all fail together)
 
 
 class Batcher:
@@ -68,6 +71,7 @@ class Batcher:
                 for i in range(0, len(work.prompts), self._max_batch)
             ]
             for c in chunks:
+                c.siblings = chunks  # a failed chunk cancels the rest (batcher-side, racelessly)
                 self._q.put(c)
             work.scores = []
             for c in chunks:
@@ -91,6 +95,9 @@ class Batcher:
         while True:
             first = carry if carry is not None else self._q.get()
             carry = None
+            if first.cancelled:
+                first.event.set()  # nobody waits on a cancelled chunk; just drop it
+                continue
             batch = [first]
             n = len(first.prompts)
             deadline = time.monotonic() + self._max_wait
@@ -104,6 +111,9 @@ class Batcher:
                     w = self._q.get(timeout=timeout)
                 except queue.Empty:
                     break
+                if w.cancelled:
+                    w.event.set()
+                    continue
                 if n + len(w.prompts) > self._max_batch:
                     carry = w
                     break
@@ -130,6 +140,12 @@ class Batcher:
                 err = e if isinstance(e, Exception) else RuntimeError(f"fatal batcher error: {e!r}")
                 for w in batch:
                     w.error = err
+                    # cancel the failed request's still-queued sibling chunks BEFORE the next
+                    # q.get(): a failed chunk fails the whole oversize request, so scoring its
+                    # siblings would only burn device batching rounds on discarded results
+                    for s in w.siblings:
+                        if s is not w and s.scores is None:
+                            s.cancelled = True
                 if not isinstance(e, Exception):
                     # fatal (KeyboardInterrupt/SystemExit/...): let the thread die — _wait's
                     # liveness check turns subsequent requests into errors, not hangs

@@ -77,11 +77,21 @@ class CLIPTokenizer:
     def with_pad_token(self, pad_token: str) -> "CLIPTokenizer":
         """A view sharing the parsed vocab/merge tables with a different pad id — SDXL's
         tokenizer-2 is the same BPE padded with "!" (token 0) instead of EOS; re-parsing the
-        ~1.5 MB asset files for that is wasted startup work."""
+        ~1.5 MB asset files for that is wasted startup work.
+
+        Raises if ``pad_token`` is not in the vocab: silently falling back to EOS would
+        restore exactly the non-parity SDXL tokenizer-2 padding this method exists to fix
+        (same loud-failure policy as the HashTokenizer guard)."""
         import copy
 
+        if pad_token not in self.encoder:
+            raise ValueError(
+                f"pad token {pad_token!r} is not in this vocab ({len(self.encoder)} entries) — "
+                "a truncated or non-CLIP vocab.json? Falling back to EOS padding would "
+                "silently break SDXL tokenizer-2 parity."
+            )
         t = copy.copy(self)
-        t.pad_id = self.encoder[pad_token] if pad_token in self.encoder else self.eos_id
+        t.pad_id = self.encoder[pad_token]
         return t
 
     def _bpe(self, token: str) -> list[str]:

@@ -95,7 +95,11 @@ class DiffSimXL(ScorerBase):
                   "meaningless. Pass tokenizer=/tokenizer2= (CLI: --tokenizer_dir) for real "
                   "scoring.")
         self.tokenizer = tokenizer or HashTokenizer(self.text_cfg.vocab_size)
-        # tokenizer_2 pads with token 0 ("!") rather than EOS
+        # tokenizer_2 pads with token 0 ("!") rather than EOS: when a real CLIPTokenizer is
+        # given without an explicit tokenizer2, derive the "!"-padded view here so library
+        # users get parity padding without going through the CLI registry
+        if tokenizer2 is None and hasattr(tokenizer, "with_pad_token"):
+            tokenizer2 = tokenizer.with_pad_token("!")
         self.tokenizer2 = tokenizer2 or tokenizer or HashTokenizer(self.text2_cfg.vocab_size)
         self._enc_dtype = jnp.float32 if vae_fp32 else dtype
         if params is None:

@@ -48,9 +48,7 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     o_ref[...] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
-def fused_geglu_ff(x, w1, b1, w2, b2, block_rows: int = 512):
-    """x (N, C); w1 (C, 8C); w2 (4C, C). N must be a multiple of block_rows."""
+def _forward_impl(x, w1, b1, w2, b2, block_rows):
     n, c = x.shape
     grid = (n // block_rows,)
     return pl.pallas_call(
@@ -73,6 +71,53 @@ def fused_geglu_ff(x, w1, b1, w2, b2, block_rows: int = 512):
             transcendentals=n * w2.shape[0],
         ),
     )(x, w1, b1, w2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_core(x, w1, b1, w2, b2, block_rows):
+    return _forward_impl(x, w1, b1, w2, b2, block_rows)
+
+
+def _fused_fwd(x, w1, b1, w2, b2, block_rows):
+    return _forward_impl(x, w1, b1, w2, b2, block_rows), (x, w1, b1, w2, b2)
+
+
+def _fused_bwd(block_rows, res, g_out):
+    """GEGLU-FF backward in XLA math (f32 recompute of the hidden projection) — mirrors the
+    fused attention kernel's custom VJP so jax.grad through UNet transformer blocks works on
+    single-TPU exactly as it does on CPU/multi-chip (the fused forward is otherwise not
+    differentiable: pallas_call has no automatic transpose rule)."""
+    x, w1, b1, w2, b2 = res
+    g32 = g_out.astype(jnp.float32)
+    hg = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1.astype(jnp.float32)
+    h, gate = jnp.split(hg, 2, axis=-1)
+    inv_sqrt2 = 0.7071067811865476
+    phi = 0.5 * (1.0 + jax.lax.erf(gate * inv_sqrt2))  # gelu(g)/g cdf term
+    gelu_g = gate * phi
+    y = (h * gelu_g).astype(x.dtype)  # the same cast point as the forward kernel
+    dw2 = jnp.dot(y.astype(jnp.float32).T, g32, preferred_element_type=jnp.float32)
+    db2 = jnp.sum(g32, axis=0)
+    dy = jnp.dot(g32, w2.astype(jnp.float32).T, preferred_element_type=jnp.float32)
+    dh = dy * gelu_g
+    # d gelu(g)/dg = Phi(g) + g * pdf(g)
+    pdf = jnp.exp(-0.5 * gate * gate) * 0.3989422804014327
+    dgate = dy * h * (phi + gate * pdf)
+    dhg = jnp.concatenate([dh, dgate], axis=-1)
+    dx = jnp.dot(dhg, w1.astype(jnp.float32).T, preferred_element_type=jnp.float32)
+    dw1 = jnp.dot(x.astype(jnp.float32).T, dhg, preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dhg, axis=0)
+    return (dx.astype(x.dtype), dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
+
+
+_fused_core.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def fused_geglu_ff(x, w1, b1, w2, b2, block_rows: int = 512):
+    """x (N, C); w1 (C, 8C); w2 (4C, C). N must be a multiple of block_rows.
+    Differentiable: the backward is a custom VJP in XLA math (_fused_bwd)."""
+    return _fused_core(x, w1, b1, w2, b2, block_rows)
 
 
 MAX_FUSED_DIM = 640  # W1 must fit VMEM alongside the row tile

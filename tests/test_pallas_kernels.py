@@ -147,6 +147,41 @@ def test_fused_attention_grad_matches_xla(monkeypatch):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=2e-4, err_msg=name)
 
 
+def test_fused_geglu_ff_grad_matches_xla():
+    """The GEGLU-FF custom VJP must match jax.grad through the XLA math path (same contract
+    as the fused attention kernel: training/grad works identically on every platform)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from diffsim_tpu.ops import blocks as B
+    from diffsim_tpu.ops.pallas.ff import fused_geglu_ff
+
+    rng = np.random.default_rng(3)
+    n, c = 32, 16
+    p = {
+        "proj_in": {"w": jnp.asarray(rng.standard_normal((c, 8 * c)), jnp.float32) * 0.1,
+                    "b": jnp.asarray(rng.standard_normal(8 * c), jnp.float32) * 0.1},
+        "proj_out": {"w": jnp.asarray(rng.standard_normal((4 * c, c)), jnp.float32) * 0.1,
+                     "b": jnp.asarray(rng.standard_normal(c), jnp.float32) * 0.1},
+    }
+    x = jnp.asarray(rng.standard_normal((n, c)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((n, c)), jnp.float32)
+
+    def loss_ref(x, w1, b1, w2, b2):
+        out = B.geglu_ff({"proj_in": {"w": w1, "b": b1}, "proj_out": {"w": w2, "b": b2}}, x)
+        return jnp.sum(out * g)
+
+    with pltpu.force_tpu_interpret_mode():
+        def loss_fused(x, w1, b1, w2, b2):
+            return jnp.sum(fused_geglu_ff(x, w1, b1, w2, b2, block_rows=16) * g)
+
+        grads_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+            x, p["proj_in"]["w"], p["proj_in"]["b"], p["proj_out"]["w"], p["proj_out"]["b"])
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        x, p["proj_in"]["w"], p["proj_in"]["b"], p["proj_out"]["w"], p["proj_out"]["b"])
+    for gf, gr, name in zip(grads_fused, grads_ref, ["x", "w1", "b1", "w2", "b2"]):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=2e-4, err_msg=name)
+
+
 @pytest.mark.parametrize("s,d", [(1280, 40), (2304, 80)])
 def test_fused_attention_non_pow2_seq_full_coverage(s, d):
     """Review regression: sequence lengths that are multiples of 256 but not of 512 (image

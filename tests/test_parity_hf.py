@@ -360,3 +360,46 @@ def test_tokenizer_with_pad_token_shares_tables(tmp_path):
     assert tok2.pad_id == vocab["!"] and tok.pad_id == tok.eos_id
     ids2 = tok2(["a"])[0]
     assert ids2[0] == tok.bos_id and (ids2[3:] == vocab["!"]).all()
+    # a missing pad token must FAIL, not silently fall back to EOS (which would restore the
+    # non-parity SDXL tokenizer-2 padding)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pad token"):
+        tok.with_pad_token("<|not-in-vocab|>")
+
+
+def test_xl_scorer_derives_bang_padded_tokenizer2(tmp_path):
+    """Library users constructing DiffSimXL with only ``tokenizer`` get the "!"-padded
+    tokenizer-2 view automatically (previously only the CLI registry applied it)."""
+    import json as _json
+
+    from diffsim_tpu.core.tokenizer import CLIPTokenizer, bytes_to_unicode
+    from diffsim_tpu.metrics.diffsim_xl import DiffSimXL
+
+    chars = sorted(set(bytes_to_unicode().values()))
+    vocab = {c: i for i, c in enumerate(chars)}
+    for c in chars:
+        vocab[c + "</w>"] = len(vocab)
+    for s in ("<|startoftext|>", "<|endoftext|>"):
+        vocab[s] = len(vocab)
+    vj, mt = tmp_path / "vocab.json", tmp_path / "merges.txt"
+    vj.write_text(_json.dumps(vocab))
+    mt.write_text("#version: 0.2\n")
+    tok = CLIPTokenizer.from_files(str(vj), str(mt))
+    import numpy as _np
+
+    from diffsim_tpu.models import clip_text as _ct, unet as _unet, vae as _vae
+
+    scorer = DiffSimXL(
+        unet_cfg=_unet.UNetConfig.tiny_xl(cross_attention_dim=64),
+        vae_cfg=_vae.VAEConfig.tiny(),
+        text_cfg=_ct.CLIPTextConfig.tiny(),
+        text2_cfg=_ct.CLIPTextConfig(
+            vocab_size=1000, hidden=32, layers=2, heads=2, intermediate=64, projection_dim=16
+        ),
+        img_size=32,
+        dtype=_np.float32,
+        tokenizer=tok,
+    )
+    assert scorer.tokenizer2.pad_id == vocab["!"]
+    assert scorer.tokenizer.pad_id == tok.eos_id

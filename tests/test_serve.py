@@ -124,3 +124,35 @@ def test_serve_oversize_request_chunks(server):
     # chunking preserves per-pair identity: a duplicate pair scores identically
     one = _post(port, {"pairs": [pairs[0]], "prompt": "x"})["scores"][0]
     np.testing.assert_allclose(out["scores"][0], one, atol=1e-5)
+
+
+def test_serve_failed_chunk_cancels_queued_siblings():
+    """When an early chunk of an oversize request fails, the batcher must cancel the
+    still-queued sibling chunks instead of scoring them into discarded results (ADVICE r3).
+    The batcher marks siblings cancelled before its next queue round, so this is race-free."""
+    import time
+
+    from diffsim_tpu.cli.serve import Batcher, _Work
+
+    scored = []
+
+    def score(pix_a, pix_b, prompts):
+        scored.append(len(prompts))
+        if len(scored) == 1:
+            raise RuntimeError("boom")
+        return np.zeros(len(prompts), np.float32)
+
+    b = Batcher(score, max_batch=2, max_wait_ms=1.0)
+    pix = np.zeros((6, 8, 8, 3), np.uint8)
+    with pytest.raises(RuntimeError, match="boom"):
+        b.submit(_Work(pix, pix, ["p"] * 6))  # 3 chunks of 2; chunk 1 fails
+    # wait for the batcher to drain the cancelled chunks
+    deadline = time.time() + 5
+    while b.pending and time.time() < deadline:
+        time.sleep(0.01)
+    assert b.pending == 0
+    # only the failing first chunk hit the device; chunks 2 and 3 were dropped
+    assert scored == [2], scored
+    # the batcher is still healthy for subsequent requests
+    ok = b.submit(_Work(pix[:1], pix[:1], ["p"]))
+    assert ok.scores == [0.0]
