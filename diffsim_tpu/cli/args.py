@@ -111,6 +111,14 @@ def arg_parse(argv=None):
                              "VAE HBM footprint; ~4%% faster at 1024px (the encode there is "
                              "resolution-bound, not precision-bound). Not bit-parity with "
                              "torch")
+    parser.add_argument("--no_device_cache", dest="device_cache", action="store_false",
+                        help="Disable the device-resident per-image feature cache (diffsim "
+                             "triplet path): every score call re-uploads and re-encodes its "
+                             "pixels, like the reference does "
+                             "(/root/reference/diffsim/diffsim.py:103-106)")
+    parser.add_argument("--moment_cache_mb", type=float, default=None,
+                        help="HBM budget for the device-resident feature cache (default 512; "
+                             "~64 KB/image at 512px holds ~8000 unique images)")
     parser.add_argument("--num_devices", type=int, default=None, help="Limit mesh size")
     parser.add_argument("--shard", type=str, default=None, metavar="I/N",
                         help="Run only comparison slice I of N (e.g. 0/4): benchmarks are "

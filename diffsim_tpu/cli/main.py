@@ -131,6 +131,7 @@ def run_benchmark(benchmark: str, argv=None) -> runner.Report:
             comparisons,
             adapter.score_pairs,
             score_triplets=adapter.score_triplets,
+            score_triplet_paths=adapter.score_triplet_paths,
             rule=rule,
             lower_better=lower,
             img_size=args.image_size,

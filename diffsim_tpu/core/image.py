@@ -41,6 +41,10 @@ def load_and_process(path, img_size: int = 512) -> np.ndarray:
     return process_image(load_image(path), img_size)
 
 
+def load_and_process_u8(path, img_size: int = 512) -> np.ndarray:
+    return process_image_u8(load_image(path), img_size)
+
+
 def process_image_u8(image: Image.Image, img_size: int = 512) -> np.ndarray:
     """Transport-optimized variant: RGB lanczos resize, (1, H, W, 3) uint8. The [-1, 1]
     mapping happens in-graph (``u8/127.5 - 1`` is bit-identical in f32 to the host float

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffsim_tpu.core import prng, schedulers
-from diffsim_tpu.core.image import load_and_process
+from diffsim_tpu.core.image import load_and_process, load_and_process_u8
 from diffsim_tpu.core.tokenizer import HashTokenizer
 from diffsim_tpu.metrics import readout
 from diffsim_tpu.models import clip_text, unet, vae
@@ -293,24 +293,17 @@ class DiffSimSD15(ScorerBase):
 
 
     @functools.lru_cache(maxsize=32)
-    def _triplet_body(self, tap: TapSpec, similarity: str):
-        """Unjitted per-chunk body of the triplet-fused scoring graph (see _triplet_fn)."""
+    def _triplet_tail(self, tap: TapSpec, similarity: str):
+        """moments (T,3,h,w,2C) pair-major -> (s_ab, s_ac): everything downstream of the VAE
+        encode, shared verbatim by the pixel path (_triplet_body) and the cached-moment path
+        (_cached_triplet_fn) so cache hits score bit-identically to fresh encodes."""
         unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
         cfg_parity = self.cfg_parity
         latent_c = vae_cfg.latent_channels
-        down = vae_cfg.downscale
 
-        def fn(params, pix_a, pix_b, pix_c, embeds_u, pidx, noise_sab, key):
-            # pix_a/b/c (T,H,W,3) separate role arrays (no host-side stacking — see _score_fn);
-            # embeds_u (U,2,77,hidden) unique [neg,pos] embeds; pidx (T,) prompt index
+        def fn(params, moments, embeds_u, pidx, noise_sab, key):
             model_t, a, b = noise_sab
-            T, H, W, _ = pix_a.shape
-            h, w = H // down, W // down
-            pix = jnp.concatenate([pix_a, pix_b, pix_c], axis=0)  # (3T,H,W,3) role-major
-            if pix.dtype == jnp.uint8:
-                pix = (pix.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
-            moments = vae.encoder_apply_chunked(params["vae"], pix)
-            moments = moments.reshape(3, T, h, w, 2 * latent_c).transpose(1, 0, 2, 3, 4)
+            T, _, h, w, _ = moments.shape
             embeds = embeds_u[pidx]  # (T,2,seq,hid)
             # roles: A keeps its draws; B and C each play "image B" of their own pair
             eps_a = jax.random.normal(prng.role_key(key, prng.VAE_A), (h, w, latent_c))
@@ -357,6 +350,29 @@ class DiffSimSD15(ScorerBase):
         return fn
 
     @functools.lru_cache(maxsize=32)
+    def _triplet_body(self, tap: TapSpec, similarity: str):
+        """Unjitted per-chunk body of the triplet-fused scoring graph (see _triplet_fn):
+        VAE-encode fresh pixels, then the shared tail."""
+        vae_cfg = self.vae_cfg
+        latent_c = vae_cfg.latent_channels
+        down = vae_cfg.downscale
+        tail = self._triplet_tail(tap, similarity)
+
+        def fn(params, pix_a, pix_b, pix_c, embeds_u, pidx, noise_sab, key):
+            # pix_a/b/c (T,H,W,3) separate role arrays (no host-side stacking — see _score_fn);
+            # embeds_u (U,2,77,hidden) unique [neg,pos] embeds; pidx (T,) prompt index
+            T, H, W, _ = pix_a.shape
+            h, w = H // down, W // down
+            pix = jnp.concatenate([pix_a, pix_b, pix_c], axis=0)  # (3T,H,W,3) role-major
+            if pix.dtype == jnp.uint8:
+                pix = (pix.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
+            moments = vae.encoder_apply_chunked(params["vae"], pix)
+            moments = moments.reshape(3, T, h, w, 2 * latent_c).transpose(1, 0, 2, 3, 4)
+            return tail(params, moments, embeds_u, pidx, noise_sab, key)
+
+        return fn
+
+    @functools.lru_cache(maxsize=32)
     def _triplet_fn(self, tap: TapSpec, similarity: str):
         """Triplet-fused variant of the scoring graph for the benchmarks' 2AFC structure:
         sim(A,B) and sim(A,C) share image A's VAE encode, noising and UNet forwards exactly
@@ -398,6 +414,192 @@ class DiffSimSD15(ScorerBase):
             return jax.jit(fn, in_shardings=(rs, cs, cs, cs, rs, cs, rs, rs),
                            out_shardings=(cs, cs))
         return jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    # device-resident moment cache: skip upload AND VAE encode for repeated images
+    # ------------------------------------------------------------------
+
+    _moment_cache = None
+    moment_cache_mb: float | None = None  # None => $DIFFSIM_TPU_MOMENT_CACHE_MB or 512
+
+    def _ensure_moment_cache(self):
+        """Lazily build the path-keyed VAE-moment pool (runtime.device_cache). Moments are
+        tiny (h*w*2C ~ 64 KB/image in bf16 at 512px), so the default 512 MB budget holds
+        ~8000 unique images — larger than every reference benchmark's image set."""
+        if self._moment_cache is not None:
+            return self._moment_cache
+        import os
+
+        from diffsim_tpu.runtime.device_cache import DeviceFeatureCache
+
+        down = self.vae_cfg.downscale
+        h = w = self.img_size // down
+        c2 = 2 * self.vae_cfg.latent_channels
+        m_dtype = jax.eval_shape(
+            vae.encoder_apply,
+            self.params["vae"],
+            jax.ShapeDtypeStruct((1, self.img_size, self.img_size, 3), self.dtype),
+        ).dtype
+        budget_mb = self.moment_cache_mb or float(
+            os.environ.get("DIFFSIM_TPU_MOMENT_CACHE_MB", "512"))
+        row_bytes = h * w * c2 * jnp.dtype(m_dtype).itemsize
+        cap = int(max(128, min(16384, budget_mb * 1e6 // row_bytes)))
+        rs = meshlib.replicated(self.mesh) if self.mesh is not None else None
+
+        # allocate the pool ON DEVICE (a host-side zeros + device_put would push the whole
+        # budget through the relay)
+        alloc = jax.jit(lambda: jnp.zeros((cap, h, w, c2), m_dtype),
+                        **({"out_shardings": rs} if rs is not None else {}))
+        pool = alloc()
+
+        def up(params, pool, pix_u8, slots):
+            x = (pix_u8.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
+            m = vae.encoder_apply_chunked(params["vae"], x)
+            return pool.at[slots].set(m.astype(pool.dtype))
+
+        if self.mesh is not None:
+            up_jit = jax.jit(up, donate_argnums=1, in_shardings=(rs, rs, rs, rs),
+                             out_shardings=rs)
+        else:
+            up_jit = jax.jit(up, donate_argnums=1)
+        update = lambda pool, rows, slots: up_jit(self.params, pool, rows, slots)
+        self._moment_cache = DeviceFeatureCache(pool, update, cap)
+        return self._moment_cache
+
+    @functools.lru_cache(maxsize=32)
+    def _cached_triplet_fn(self, tap: TapSpec, similarity: str):
+        """Triplet scoring from cached moments: gather pool[idx] on device, then the shared
+        tail — numerically the fresh-encode graph with the encode amortized away."""
+        tail = self._triplet_tail(tap, similarity)
+
+        def fn(params, pool, idx3, embeds_u, pidx, noise_sab, key):
+            # idx3 (T,3) slot indices [a,b,c] per triplet
+            return tail(params, pool[idx3], embeds_u, pidx, noise_sab, key)
+
+        if self.mesh is not None:
+            ds = meshlib.data_sharding(self.mesh)
+            rs = meshlib.replicated(self.mesh)
+            return jax.jit(fn, in_shardings=(rs, rs, ds, rs, ds, rs, rs),
+                           out_shardings=(ds, ds))
+        return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=32)
+    def _cached_triplet_scan_fn(self, tap: TapSpec, similarity: str):
+        """Scan-chunked variant of _cached_triplet_fn (one launch + one fetch per window,
+        see _triplet_scan_fn)."""
+        tail = self._triplet_tail(tap, similarity)
+
+        def fn(params, pool, idx3, embeds_u, pidx, noise_sab, key):
+            # idx3 (N, chunk, 3); pidx (N, chunk)
+            def step(_, xs):
+                ix, pi = xs
+                return None, tail(params, pool[ix], embeds_u, pi, noise_sab, key)
+
+            _, out = jax.lax.scan(step, None, (idx3, pidx))
+            return out
+
+        if self.mesh is not None:
+            cs = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec(None, "data"))
+            rs = meshlib.replicated(self.mesh)
+            return jax.jit(fn, in_shardings=(rs, rs, cs, rs, cs, rs, rs),
+                           out_shardings=(cs, cs))
+        return jax.jit(fn)
+
+    def score_triplet_paths(
+        self,
+        paths_a,
+        paths_b,
+        paths_c,
+        pix_a: np.ndarray | None = None,
+        pix_b: np.ndarray | None = None,
+        pix_c: np.ndarray | None = None,
+        *,
+        loader=None,
+        prompt="",
+        target_block: str = "up_blocks",
+        target_layer=0,
+        target_step: int = 600,
+        similarity: str = "cosine",
+        seed: int = 2333,
+        fix_layer_collapse: bool = False,
+        blocking: bool = True,
+        chunk: int | None = None,
+        text_attn: bool = False,
+    ):
+        """(s_ab, s_ac) for T triplets given image PATHS — the transport-eliminating entry
+        point. Each unique path is uploaded + VAE-encoded ONCE into the device-resident
+        moment pool; the scoring graph takes slot indices and gathers on device, so repeated
+        images (every 2AFC protocol reuses them heavily) cost zero relay traffic and zero
+        encode compute. Scores match score_triplet_batch up to XLA fusion-order rounding.
+
+        ``pix_a/b/c``: optionally the already-decoded (T,H,W,3) uint8 arrays (the runner's
+        prefetch pipeline has them in hand) — rows of first occurrence feed cache misses.
+        Otherwise misses are decoded from disk via ``loader`` (or process_image_u8)."""
+        import os as _os
+
+        tap = sd15_tap(target_block, target_layer, False, fix_layer_collapse, text_attn)
+        T = len(paths_a)
+        assert len(paths_b) == T and len(paths_c) == T
+        keys = [_os.fspath(p) for role in (paths_a, paths_b, paths_c) for p in role]
+
+        rowsrc: dict = {}
+        for role_paths, role_pix in ((paths_a, pix_a), (paths_b, pix_b), (paths_c, pix_c)):
+            if role_pix is None:
+                continue
+            assert role_pix.dtype == np.uint8, (
+                "the moment cache expects uint8 pixel transport (process_image_u8)"
+            )
+            for i, p in enumerate(role_paths):
+                rowsrc.setdefault(_os.fspath(p), (role_pix, i))
+
+        def rows_for(missing):
+            rows = []
+            for k in missing:
+                hit = rowsrc.get(k)
+                if hit is not None:
+                    rows.append(hit[0][hit[1]])
+                elif loader is not None:
+                    rows.append(loader.submit(k))
+                else:
+                    rows.append(load_and_process_u8(k, self.img_size)[0])
+            # resolve loader futures (threaded decode) after all are submitted
+            rows = [r.result()[0] if hasattr(r, "result") else r for r in rows]
+            return np.stack(rows)
+
+        cache = self._ensure_moment_cache()
+        slots = cache.ensure(keys, rows_for)
+        idx3 = slots.reshape(3, T).T  # (T,3) [a,b,c]
+
+        prompts = [prompt] * T if isinstance(prompt, str) else list(prompt)
+        pad = 0
+        if self.mesh is not None:
+            quantum = meshlib.data_axis_size(self.mesh)
+            if chunk is not None:
+                assert chunk % quantum == 0, (chunk, quantum)
+                quantum = chunk
+            target = meshlib.pad_to_multiple(T, quantum)
+            pad = target - T
+            if pad:
+                idx3 = np.concatenate([idx3, np.repeat(idx3[-1:], pad, 0)], axis=0)
+                prompts = prompts + [prompts[-1]] * pad
+        embeds_u, pidx = self._embeds_and_idx(prompts)
+        sab, key = self._noise_consts(int(target_step), int(seed))
+        n = len(prompts)
+        if chunk is not None and n % chunk == 0 and n > chunk:
+            shape = (n // chunk, chunk)
+            fn = self._cached_triplet_scan_fn(tap, similarity)
+            s_ab, s_ac = fn(self.params, cache.pool, idx3.reshape(shape + (3,)),
+                            embeds_u, pidx.reshape(shape), sab, key)
+        else:
+            fn = self._cached_triplet_fn(tap, similarity)
+            s_ab, s_ac = fn(self.params, cache.pool, idx3, embeds_u, pidx, sab, key)
+
+        def fetch():
+            out_ab, out_ac = (np.asarray(o, np.float32).reshape(-1)
+                              for o in jax.device_get((s_ab, s_ac)))
+            return (out_ab[:T], out_ac[:T]) if pad else (out_ab, out_ac)
+
+        return fetch() if blocking else fetch
 
     def score_triplet_batch(
         self,

@@ -27,13 +27,21 @@ class MetricAdapter:
     work with this batch's device compute (no synchronous fallback exists in the runner).
 
     ``score_triplets(pix_a, pix_b, pix_c, prompts, blocking=...) -> (s_ab, s_ac)`` is the
-    optional fused 2AFC path (image A's work shared across both pairs)."""
+    optional fused 2AFC path (image A's work shared across both pairs).
+
+    ``score_triplet_paths(paths_a, paths_b, paths_c, pix_a, pix_b, pix_c, prompts,
+    blocking=..., loader=...)`` is the device-cache-aware variant: images are keyed by path
+    and each unique image is uploaded + encoded once into a device-resident pool
+    (runtime.device_cache) — repeated images (every 2AFC protocol reuses them heavily) cost
+    zero relay transport and zero encode compute. ``pix_*`` may be None; decoded uint8 rows,
+    when the runner's prefetch already has them, feed cache misses without a re-decode."""
 
     score_pairs: Callable[[np.ndarray, np.ndarray, list[str]], np.ndarray]
     lower_better: bool
     preprocess: Callable | None = None  # None => default lanczos/[-1,1] at image_size
     score_triplets: Callable | None = None
     wants_masks: bool = False  # --use_mask supported: score_pairs accepts mask_a=/mask_b=
+    score_triplet_paths: Callable | None = None
 
 
 def _attach_ip(scorer, args, tiny: bool):
@@ -97,6 +105,8 @@ def build_metric(args, mesh=None) -> MetricAdapter:
         )
         if args.ip_adapter:
             _attach_ip(scorer, args, tiny)
+        if getattr(args, "moment_cache_mb", None):
+            scorer.moment_cache_mb = args.moment_cache_mb
 
         from diffsim_tpu.core.image import process_image_u8
 
@@ -114,6 +124,7 @@ def build_metric(args, mesh=None) -> MetricAdapter:
                 )
 
             score_triplets = None
+            score_triplet_paths = None
             if not args.ip_adapter:
                 def score_triplets(pa, pb, pc, prompts, blocking=True):
                     return scorer.score_triplet_batch(
@@ -122,6 +133,18 @@ def build_metric(args, mesh=None) -> MetricAdapter:
                         similarity=similarity, seed=args.seed, blocking=blocking,
                         text_attn=text_attn,
                     )
+
+                if getattr(args, "device_cache", True):
+                    def score_triplet_paths(paths_a, paths_b, paths_c, pix_a=None,
+                                            pix_b=None, pix_c=None, prompts="",
+                                            blocking=True, loader=None):
+                        return scorer.score_triplet_paths(
+                            paths_a, paths_b, paths_c, pix_a, pix_b, pix_c, loader=loader,
+                            prompt=prompts, target_block=args.target_block,
+                            target_layer=args.target_layer, target_step=args.target_step,
+                            similarity=similarity, seed=args.seed, blocking=blocking,
+                            text_attn=text_attn,
+                        )
         else:
             def score_pairs(pa, pb, prompts, blocking=True):
                 return scorer.score_feats_batch(
@@ -132,7 +155,8 @@ def build_metric(args, mesh=None) -> MetricAdapter:
 
         if name == "diffsim":
             return MetricAdapter(score_pairs, lower, preprocess=u8, score_triplets=score_triplets,
-                                 wants_masks=bool(getattr(args, "use_mask", False)))
+                                 wants_masks=bool(getattr(args, "use_mask", False)),
+                                 score_triplet_paths=score_triplet_paths)
         return MetricAdapter(score_pairs, lower, preprocess=u8)
 
     if name == "dit":

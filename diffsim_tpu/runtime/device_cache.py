@@ -1,0 +1,109 @@
+"""Device-resident feature cache keyed by image identity.
+
+Every 2AFC benchmark protocol reuses images heavily — CUTE draws 10 experiments per class
+from the same directories (/root/reference/cute_main.py:54-106), IPref scores 5 generations
+against one original (/root/reference/ipref_main.py:60-66), NIGHTS/TID reuse their reference
+images across comparisons — yet the reference re-reads, re-preprocesses and re-encodes every
+image on every score call (/root/reference/diffsim/diffsim.py:103-106). On TPU the repeated
+work is twofold: the host->device pixel transport (~0.79 MB/image at 512px even as uint8) and
+the VAE encode (roughly half the per-pair FLOPs). This cache eliminates both: each unique
+image is uploaded and encoded ONCE into a slot of a device-resident pool; scoring graphs take
+the pool plus tiny int32 slot indices and gather on device.
+
+Design notes (TPU/XLA):
+* The pool is one fixed-shape device array; updates are donated-buffer scatters
+  (``pool.at[slots].set(new)``) so the pool never round-trips to the host and HBM is reused
+  in place. In-order device execution makes donation safe against in-flight async scoring
+  batches: a batch enqueued before an update reads the pre-update contents.
+* Upload slabs are padded to a few fixed bucket sizes so the update program compiles a
+  handful of times total (duplicate slot writes carry identical rows — order-independent).
+* Host bookkeeping is a plain LRU over slot numbers; keys referenced by the current batch
+  are pinned (marked most-recent and excluded from eviction).
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Callable, Hashable, Sequence
+
+import numpy as np
+
+UPLOAD_BUCKETS = (4, 16, 64)  # slab sizes the update program is compiled for
+
+
+class DeviceFeatureCache:
+    """LRU path->slot cache over a device-resident feature pool.
+
+    ``update(pool, rows_u8, slots) -> pool`` is a jitted, pool-donating scatter that also
+    performs the host-side representation -> cached-feature transform (e.g. uint8 pixels ->
+    VAE moments). ``pool`` is the initial (capacity, ...) device array.
+    """
+
+    def __init__(self, pool, update: Callable, capacity: int):
+        self.pool = pool
+        self._update = update
+        self.capacity = int(capacity)
+        self._slot_of: collections.OrderedDict[Hashable, int] = collections.OrderedDict()
+        self._free = list(range(self.capacity - 1, -1, -1))  # pop() yields slot 0 first
+        self.hits = 0
+        self.misses = 0
+        self.evictions = 0
+
+    def ensure(self, keys: Sequence[Hashable], rows_for: Callable[[list], np.ndarray]) -> np.ndarray:
+        """Guarantee every key is resident; return its slot index per key (len(keys),) int32.
+
+        ``rows_for(missing_keys) -> (k, ...)`` supplies the host-side representation (uint8
+        pixel rows) for keys not yet cached, in order."""
+        pinned = set(keys)
+        if len(pinned) > self.capacity:
+            raise ValueError(
+                f"batch references {len(pinned)} unique images but the device cache holds "
+                f"{self.capacity} slots — raise the cache budget or shrink the batch"
+            )
+        missing: list = []
+        seen_missing = set()
+        for k in keys:
+            if k in self._slot_of:
+                self._slot_of.move_to_end(k)  # pin: most-recent, never evicted this call
+            elif k not in seen_missing:
+                seen_missing.add(k)
+                missing.append(k)
+        self.hits += len(keys) - len(seen_missing)
+        self.misses += len(missing)
+        if missing:
+            slots = [self._assign(k, pinned) for k in missing]
+            rows = np.ascontiguousarray(rows_for(missing))
+            assert rows.shape[0] == len(missing), (rows.shape, len(missing))
+            self._scatter(rows, np.asarray(slots, np.int32))
+        return np.asarray([self._slot_of[k] for k in keys], np.int32)
+
+    def _assign(self, key: Hashable, pinned: set) -> int:
+        if self._free:
+            slot = self._free.pop()
+        else:
+            victim = next(k for k in self._slot_of if k not in pinned)
+            slot = self._slot_of.pop(victim)
+            self.evictions += 1
+        self._slot_of[key] = slot
+        return slot
+
+    def _scatter(self, rows: np.ndarray, slots: np.ndarray):
+        """Write rows into pool slots in bucket-padded slabs (bounded compile count)."""
+        n = rows.shape[0]
+        start = 0
+        while start < n:
+            k = min(n - start, UPLOAD_BUCKETS[-1])
+            bucket = next(b for b in UPLOAD_BUCKETS if b >= k)
+            sl_rows = rows[start : start + k]
+            sl_slots = slots[start : start + k]
+            if bucket > k:  # pad with repeats of the last row+slot: idempotent writes
+                reps = bucket - k
+                sl_rows = np.concatenate([sl_rows, np.repeat(sl_rows[-1:], reps, 0)], axis=0)
+                sl_slots = np.concatenate([sl_slots, np.repeat(sl_slots[-1:], reps, 0)], axis=0)
+            self.pool = self._update(self.pool, sl_rows, sl_slots)
+            start += k
+
+    @property
+    def stats(self) -> dict:
+        return {"hits": self.hits, "misses": self.misses, "evictions": self.evictions,
+                "resident": len(self._slot_of), "capacity": self.capacity}

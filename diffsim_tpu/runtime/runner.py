@@ -65,6 +65,7 @@ def run_2afc(
     score_pairs: Callable[[np.ndarray, np.ndarray, list[str]], np.ndarray],
     *,
     score_triplets: Callable | None = None,
+    score_triplet_paths: Callable | None = None,
     rule: str = STANDARD,
     lower_better: bool = False,
     img_size: int = 512,
@@ -85,7 +86,14 @@ def run_2afc(
     ``mask_fn(image_path) -> (1, H, W)`` enables mask-weighted scoring (--use_mask): masks are
     decoded alongside the images and passed to ``score_pairs(mask_a=, mask_b=)``; the triplet
     fusion is bypassed (it has no mask plumbing).
+
+    ``score_triplet_paths`` (see MetricAdapter) takes priority over ``score_triplets`` when
+    every image of the batch is an on-disk path: images are keyed by path in a device-resident
+    feature cache, so a repeated image costs no relay upload and no encode. The prefetch decode
+    still runs (its uint8 rows feed cache misses without a second decode; the ImageLoader's
+    own LRU makes repeat decodes cheap).
     """
+    import os as _os
     log = ResultLog(out_path)
     loader = loader or ImageLoader(img_size)
     report = Report()
@@ -160,11 +168,23 @@ def run_2afc(
                 m_bc = np.concatenate([e[4] for e in arrs] + [e[5] for e in arrs], axis=0)
                 result = score_pairs(pix_a, pix_bc, prompts * 2, blocking=False,
                                      mask_a=m_a, mask_b=m_bc)
-            elif score_triplets is not None:
+            elif score_triplets is not None or score_triplet_paths is not None:
                 pa = np.concatenate([e[0] for e in arrs], axis=0)
                 pb = np.concatenate([e[1] for e in arrs], axis=0)
                 pc = np.concatenate([e[2] for e in arrs], axis=0)
-                result = score_triplets(pa, pb, pc, prompts, blocking=False)
+                roles = [[getattr(comparisons[i], r) for i in chunk] for r in "abc"]
+                pathlike = all(
+                    isinstance(p, (str, _os.PathLike)) for role in roles for p in role
+                )
+                if score_triplet_paths is not None and pathlike:
+                    result = score_triplet_paths(*roles, pa, pb, pc, prompts,
+                                                 blocking=False, loader=loader)
+                elif score_triplets is not None:
+                    result = score_triplets(pa, pb, pc, prompts, blocking=False)
+                else:  # paths adapter without triplet fallback, non-path inputs
+                    result = score_pairs(np.concatenate([pa, pa], axis=0),
+                                         np.concatenate([pb, pc], axis=0),
+                                         prompts * 2, blocking=False)
             else:
                 pix_a = np.concatenate([e[0] for e in arrs] * 2, axis=0)
                 pix_bc = np.concatenate([e[1] for e in arrs] + [e[2] for e in arrs], axis=0)

@@ -1,0 +1,252 @@
+"""Device-resident feature cache (runtime.device_cache) + the cached scoring path.
+
+The reference re-reads, re-preprocesses and re-encodes every image on every score call
+(/root/reference/diffsim/diffsim.py:103-106) even though every 2AFC protocol reuses images
+heavily (/root/reference/cute_main.py:54-106 draws 10 experiments per class from the same
+dirs). The cache uploads + VAE-encodes each unique image once; these tests pin (a) the LRU
+slot bookkeeping, (b) bit-parity of cached scores with the fresh-encode path, and (c) the
+CLI wiring end-to-end.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from diffsim_tpu.metrics.diffsim_sd15 import DiffSimSD15
+from diffsim_tpu.models import clip_text, unet, vae
+from diffsim_tpu.parallel import mesh as meshlib
+from diffsim_tpu.runtime.device_cache import DeviceFeatureCache
+
+# ---------------------------------------------------------------------------
+# unit: LRU bookkeeping over a plain-numpy "device" pool
+# ---------------------------------------------------------------------------
+
+
+def _np_cache(capacity, row_shape=(2,)):
+    pool = np.zeros((capacity,) + row_shape, np.float32)
+
+    calls = []
+
+    def update(pool, rows, slots):
+        calls.append((rows.shape[0], list(slots)))
+        out = pool.copy()
+        out[slots] = rows  # duplicate slots carry identical rows: order-independent
+        return out
+
+    return DeviceFeatureCache(pool, update, capacity), calls
+
+
+def _rows_for(missing):
+    # deterministic row content derived from the key so reads are checkable
+    return np.stack([np.full(2, float(hash(k) % 997), np.float32) for k in missing])
+
+
+def test_ensure_assigns_hits_and_misses():
+    cache, calls = _np_cache(4)
+    slots = cache.ensure(["a", "b", "a"], _rows_for)
+    assert slots.shape == (3,) and slots.dtype == np.int32
+    assert slots[0] == slots[2] != slots[1]
+    assert cache.misses == 2 and cache.hits == 1
+    # every pool row equals its key's content
+    np.testing.assert_array_equal(cache.pool[slots[0]], _rows_for(["a"])[0])
+    np.testing.assert_array_equal(cache.pool[slots[1]], _rows_for(["b"])[0])
+    # second call: all hits, pool untouched
+    n_calls = len(calls)
+    slots2 = cache.ensure(["b", "a"], _rows_for)
+    assert list(slots2) == [slots[1], slots[0]]
+    assert len(calls) == n_calls and cache.evictions == 0
+
+
+def test_lru_evicts_oldest_unpinned():
+    cache, _ = _np_cache(3)
+    s_abc = cache.ensure(["a", "b", "c"], _rows_for)
+    # touch "a" so "b" is the LRU victim
+    cache.ensure(["a"], _rows_for)
+    s_d = cache.ensure(["d"], _rows_for)
+    assert cache.evictions == 1
+    assert s_d[0] == s_abc[1]  # took b's slot
+    # b re-misses; a and c are still resident at their old slots
+    s2 = cache.ensure(["a", "c"], _rows_for)
+    assert list(s2) == [s_abc[0], s_abc[2]]
+    assert cache.misses == 4  # a, b, c, d (b was evicted but never re-requested)
+
+
+def test_keys_of_current_batch_are_pinned():
+    cache, _ = _np_cache(3)
+    cache.ensure(["a", "b", "c"], _rows_for)
+    # a batch referencing a + two new keys must never evict a to place them
+    slots = cache.ensure(["a", "d", "e"], _rows_for)
+    again = cache.ensure(["a"], _rows_for)
+    assert again[0] == slots[0] and cache.misses == 5
+
+
+def test_batch_larger_than_capacity_raises():
+    cache, _ = _np_cache(2)
+    with pytest.raises(ValueError, match="unique images"):
+        cache.ensure(["a", "b", "c"], _rows_for)
+
+
+def test_scatter_bucket_padding_is_idempotent():
+    """Upload slabs are padded to fixed bucket sizes with repeats of the last row — the
+    repeated writes must land identical content (and compile counts stay bounded)."""
+    cache, calls = _np_cache(70)
+    keys = [f"k{i}" for i in range(67)]  # 64-slab + 3 -> padded 4-bucket
+    slots = cache.ensure(keys, _rows_for)
+    assert sorted(n for n, _ in calls) == [4, 64]
+    for k, s in zip(keys, slots):
+        np.testing.assert_array_equal(cache.pool[s], _rows_for([k])[0])
+
+
+# ---------------------------------------------------------------------------
+# scorer integration: cached path == fresh-encode path
+# ---------------------------------------------------------------------------
+
+
+def _scorer(mesh=None):
+    return DiffSimSD15(
+        unet_cfg=unet.UNetConfig.tiny(),
+        vae_cfg=vae.VAEConfig.tiny(),
+        text_cfg=clip_text.CLIPTextConfig.tiny(),
+        img_size=32,
+        dtype=np.float32,
+        mesh=mesh,
+    )
+
+
+def _image_files(tmp_path, n, size=40):
+    rng = np.random.default_rng(1234)
+    paths = []
+    for i in range(n):
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(rng.integers(0, 256, (size, size, 3)).astype(np.uint8)).save(p)
+        paths.append(str(p))
+    return paths
+
+
+def test_score_triplet_paths_matches_fresh_encode(tmp_path):
+    from diffsim_tpu.core.image import load_and_process_u8
+
+    scorer = _scorer()
+    paths = _image_files(tmp_path, 6)
+    pa, pb, pc = paths[0:2], paths[2:4], paths[4:6]
+    kw = dict(prompt="p", target_step=600, similarity="cosine")
+    s_ab, s_ac = scorer.score_triplet_paths(pa, pb, pc, **kw)
+    pix = [np.concatenate([load_and_process_u8(p, 32) for p in role]) for role in (pa, pb, pc)]
+    f_ab, f_ac = scorer.score_triplet_batch(*pix, **kw)
+    # shared _triplet_tail: only the encode placement differs (pool scatter+gather vs inline)
+    np.testing.assert_allclose(s_ab, f_ab, atol=2e-6)
+    np.testing.assert_allclose(s_ac, f_ac, atol=2e-6)
+    # all-hit rescore is bit-identical and touches no new slots
+    cache = scorer._moment_cache
+    misses = cache.misses
+    s_ab2, s_ac2 = scorer.score_triplet_paths(pa, pb, pc, **kw)
+    assert cache.misses == misses and cache.hits >= 6
+    np.testing.assert_array_equal(s_ab, s_ab2)
+    np.testing.assert_array_equal(s_ac, s_ac2)
+
+
+def test_score_triplet_paths_repeated_images_share_slots(tmp_path):
+    """A appearing in many triplets (the CUTE/IPref pattern) is uploaded once; scores equal
+    the fresh path that re-encodes it every time."""
+    from diffsim_tpu.core.image import load_and_process_u8
+
+    scorer = _scorer()
+    paths = _image_files(tmp_path, 4)
+    pa = [paths[0]] * 3
+    pb = [paths[1], paths[2], paths[1]]
+    pc = [paths[3], paths[3], paths[2]]
+    s_ab, s_ac = scorer.score_triplet_paths(pa, pb, pc, prompt="p", target_step=600)
+    assert scorer._moment_cache.misses == 4  # unique images only
+    pix = [np.concatenate([load_and_process_u8(p, 32) for p in role]) for role in (pa, pb, pc)]
+    f_ab, f_ac = scorer.score_triplet_batch(*pix, prompt="p", target_step=600)
+    np.testing.assert_allclose(s_ab, f_ab, atol=2e-6)
+    np.testing.assert_allclose(s_ac, f_ac, atol=2e-6)
+
+
+def test_score_triplet_paths_uses_supplied_pixels_without_decode(tmp_path):
+    """Rows already decoded by the runner's prefetch feed misses — nonexistent paths prove
+    no disk read happens."""
+    scorer = _scorer()
+    rng = np.random.default_rng(5)
+    pix = [rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8) for _ in range(3)]
+    fake = [[f"/nonexistent/{r}{i}.png" for i in range(2)] for r in "abc"]
+    s_ab, s_ac = scorer.score_triplet_paths(fake[0], fake[1], fake[2], *pix,
+                                            prompt="p", target_step=600)
+    f_ab, f_ac = scorer.score_triplet_batch(*pix, prompt="p", target_step=600)
+    np.testing.assert_allclose(s_ab, f_ab, atol=2e-6)
+    np.testing.assert_allclose(s_ac, f_ac, atol=2e-6)
+
+
+def test_cached_scan_chunks_match_plain(tmp_path):
+    scorer = _scorer()
+    paths = _image_files(tmp_path, 8)
+    pa = [paths[i % 4] for i in range(6)]
+    pb = [paths[4 + i % 2] for i in range(6)]
+    pc = [paths[6 + i % 2] for i in range(6)]
+    kw = dict(prompt="p", target_step=600)
+    s_ab, s_ac = scorer.score_triplet_paths(pa, pb, pc, **kw)
+    t_ab, t_ac = scorer.score_triplet_paths(pa, pb, pc, chunk=2, **kw)
+    np.testing.assert_allclose(s_ab, t_ab, atol=2e-6)
+    np.testing.assert_allclose(s_ac, t_ac, atol=2e-6)
+
+
+def test_cached_path_on_mesh_matches_single_device(tmp_path):
+    paths = _image_files(tmp_path, 6)
+    pa, pb, pc = paths[0:2], paths[2:4], paths[4:6]
+    kw = dict(prompt="p", target_step=600)
+    ref = _scorer().score_triplet_paths(pa, pb, pc, **kw)
+    got = _scorer(mesh=meshlib.make_mesh(8)).score_triplet_paths(pa, pb, pc, **kw)
+    np.testing.assert_allclose(got[0], ref[0], atol=1e-5)
+    np.testing.assert_allclose(got[1], ref[1], atol=1e-5)
+
+
+def test_eviction_under_tiny_budget_rescores_identically(tmp_path):
+    """With capacity 128 (the floor) the LRU still produces correct scores under churn —
+    keys evicted and re-encoded land the same moments."""
+    scorer = _scorer()
+    scorer.moment_cache_mb = 1e-9  # floor: 128 slots
+    paths = _image_files(tmp_path, 6)
+    pa, pb, pc = paths[0:2], paths[2:4], paths[4:6]
+    s1 = scorer.score_triplet_paths(pa, pb, pc, prompt="p", target_step=600)
+    assert scorer._moment_cache.capacity == 128
+    # force eviction of everything, then rescore
+    cache = scorer._moment_cache
+    cache.ensure([f"fill{i}" for i in range(128)],
+                 lambda missing: np.zeros((len(missing), 32, 32, 3), np.uint8))
+    assert cache.evictions >= 6
+    s2 = scorer.score_triplet_paths(pa, pb, pc, prompt="p", target_step=600)
+    np.testing.assert_array_equal(s1[0], s2[0])
+    np.testing.assert_array_equal(s1[1], s2[1])
+
+
+# ---------------------------------------------------------------------------
+# CLI wiring: default path is cached; --no_device_cache reproduces it exactly
+# ---------------------------------------------------------------------------
+
+
+def test_cli_cute_device_cache_matches_uncached(tmp_path):
+    from diffsim_tpu.cli.main import run_benchmark
+    from tests import fixtures
+
+    root = str(tmp_path / "bench")
+    os.makedirs(root)
+    cute = fixtures.make_cute(root)
+    base = [
+        "--image_path", cute, "--image_size", "32", "--metric", "diffsim",
+        "--target_layer", "0", "--target_step", "600", "--similarity", "cosine",
+        "--model_scale", "tiny", "--batch_size", "8",
+    ]
+    rep_c = run_benchmark("cute", base + ["--results", str(tmp_path / "cached.jsonl")])
+    rep_u = run_benchmark("cute", base + ["--no_device_cache",
+                                          "--results", str(tmp_path / "plain.jsonl")])
+
+    def scores(p):
+        return [(json.loads(l)["s_ab"], json.loads(l)["s_ac"]) for l in open(p)]
+
+    cached, plain = scores(tmp_path / "cached.jsonl"), scores(tmp_path / "plain.jsonl")
+    assert len(cached) == len(plain) == 40
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(plain), atol=2e-6)
+    assert rep_c.correct == rep_u.correct and rep_c.total == rep_u.total
