@@ -154,7 +154,8 @@ class DiffSimDiT(ScorerBase):
 
             ds = meshlib.data_sharding(self.mesh)
             rs = meshlib.replicated(self.mesh)
-            return jax.jit(fn, in_shardings=(rs, ds, rs, rs), out_shardings=(ds, ds))
+            return meshlib.kernel_jit(fn, self.mesh, in_shardings=(rs, ds, rs, rs),
+                                      out_shardings=(ds, ds))
         return jax.jit(fn)
 
     @staticmethod

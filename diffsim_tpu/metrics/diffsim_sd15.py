@@ -284,8 +284,9 @@ class DiffSimSD15(ScorerBase):
         if self.mesh is not None:
             ds = meshlib.data_sharding(self.mesh)
             rs = meshlib.replicated(self.mesh)
-            return jax.jit(
+            return meshlib.kernel_jit(
                 fn,
+                self.mesh,
                 in_shardings=(rs, ds, ds, rs, ds, rs, rs, rs, rs),
                 out_shardings=ds,
             )
@@ -383,8 +384,8 @@ class DiffSimSD15(ScorerBase):
         if self.mesh is not None:
             ds = meshlib.data_sharding(self.mesh)
             rs = meshlib.replicated(self.mesh)
-            return jax.jit(fn, in_shardings=(rs, ds, ds, ds, rs, ds, rs, rs),
-                           out_shardings=(ds, ds))
+            return meshlib.kernel_jit(fn, self.mesh, in_shardings=(rs, ds, ds, ds, rs, ds, rs, rs),
+                                      out_shardings=(ds, ds))
         return jax.jit(fn)
 
     @functools.lru_cache(maxsize=32)
@@ -411,8 +412,8 @@ class DiffSimSD15(ScorerBase):
         if self.mesh is not None:
             cs = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec(None, "data"))
             rs = meshlib.replicated(self.mesh)
-            return jax.jit(fn, in_shardings=(rs, cs, cs, cs, rs, cs, rs, rs),
-                           out_shardings=(cs, cs))
+            return meshlib.kernel_jit(fn, self.mesh, in_shardings=(rs, cs, cs, cs, rs, cs, rs, rs),
+                                      out_shardings=(cs, cs))
         return jax.jit(fn)
 
     # ------------------------------------------------------------------
@@ -479,8 +480,8 @@ class DiffSimSD15(ScorerBase):
         if self.mesh is not None:
             ds = meshlib.data_sharding(self.mesh)
             rs = meshlib.replicated(self.mesh)
-            return jax.jit(fn, in_shardings=(rs, rs, ds, rs, ds, rs, rs),
-                           out_shardings=(ds, ds))
+            return meshlib.kernel_jit(fn, self.mesh, in_shardings=(rs, rs, ds, rs, ds, rs, rs),
+                                      out_shardings=(ds, ds))
         return jax.jit(fn)
 
     @functools.lru_cache(maxsize=32)
@@ -501,8 +502,8 @@ class DiffSimSD15(ScorerBase):
         if self.mesh is not None:
             cs = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec(None, "data"))
             rs = meshlib.replicated(self.mesh)
-            return jax.jit(fn, in_shardings=(rs, rs, cs, rs, cs, rs, rs),
-                           out_shardings=(cs, cs))
+            return meshlib.kernel_jit(fn, self.mesh, in_shardings=(rs, rs, cs, rs, cs, rs, rs),
+                                      out_shardings=(cs, cs))
         return jax.jit(fn)
 
     def score_triplet_paths(

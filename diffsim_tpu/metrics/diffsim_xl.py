@@ -320,8 +320,8 @@ class DiffSimXL(ScorerBase):
 
             ds = meshlib.data_sharding(self.mesh)
             rs = meshlib.replicated(self.mesh)
-            return jax.jit(fn, in_shardings=(rs, ds, ds, ds, rs, rs),
-                           out_shardings=(ds, ds))
+            return meshlib.kernel_jit(fn, self.mesh, in_shardings=(rs, ds, ds, ds, rs, rs),
+                                      out_shardings=(ds, ds))
         return jax.jit(fn)
 
     def score_batch(

@@ -32,11 +32,11 @@ def sdpa(
     if q.ndim == 4 and scale == head_dim**-0.5:
         from diffsim_tpu.ops.pallas.attention import (
             fused_self_attention,
-            single_device_tpu,
+            pallas_route,
             use_fused,
         )
 
-        if use_fused(q.shape, k.shape) and single_device_tpu():
+        if use_fused(q.shape, k.shape) and pallas_route(q.shape[0]):
             return fused_self_attention(q, k, v)
     logits = jnp.einsum(
         "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32

@@ -31,6 +31,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _interpret() -> bool:
+    from diffsim_tpu.ops.pallas import spmd
+
+    return spmd.interpret_env()
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     q = q_ref[0]  # (bq, D)
     k = k_ref[0]  # (S, D)
@@ -64,6 +70,19 @@ def _block_q(s: int, d: int) -> int:
 
 
 def _forward_impl(q, k, v, block_q):
+    """Kernel forward with SPMD dispatch: inside a declared kernel mesh (multi-device
+    graphs) the pallas call is shard_mapped over the batch dim — per-shard invocation is
+    exact because attention never mixes batch rows. See ops/pallas/spmd.py."""
+    from diffsim_tpu.ops.pallas import spmd
+
+    if spmd.batch_shardable(q.shape[0]):
+        return spmd.smap_batch(
+            lambda q, k, v: _pallas_forward(q, k, v, block_q), (True, True, True)
+        )(q, k, v)
+    return _pallas_forward(q, k, v, block_q)
+
+
+def _pallas_forward(q, k, v, block_q):
     b, h, s, d = q.shape
     # NOTE: max is taken over UNSCALED logits and the scale folded into exp's operand —
     # mathematically identical for scale > 0 (see module docstring)
@@ -90,6 +109,7 @@ def _forward_impl(q, k, v, block_q):
             bytes_accessed=(b * h) * (s * d * 3 + s * d) * q.dtype.itemsize,
             transcendentals=b * h * s * s,
         ),
+        interpret=_interpret(),
     )(q3, k3, v3)
     return out.reshape(b, h, s, d)
 
@@ -149,22 +169,32 @@ def fused_self_attention(q: jax.Array, k: jax.Array, v: jax.Array, block_q: int 
 MIN_FUSED_SEQ = 256
 
 
-def single_device_tpu() -> bool:
-    """Kernel routing guard shared by the pallas dispatchers: TPU platform, one device.
+def pallas_route(batch0: int) -> bool:
+    """Kernel routing guard shared by the pallas dispatchers, for a kernel whose dim 0 is
+    the batch of size ``batch0``:
 
-    Multi-chip meshes keep the XLA math path — pallas custom-calls inside a pjit-sharded
-    graph have no SPMD partitioning rule, and no multi-TPU hardware exists in this loop to
-    validate the alternative (virtual meshes are CPU, which never routes here). Set
-    DIFFSIM_TPU_FORCE_PALLAS=1 to override after validating on a real pod."""
+    * CPU never routes (pallas TPU kernels don't lower there) unless
+      DIFFSIM_TPU_PALLAS_INTERPRET=1 — the test hook that exercises the multi-device
+      dispatch path under ``pltpu.force_tpu_interpret_mode`` on the virtual CPU mesh.
+    * Single device: always route (the proven direct path).
+    * Multi-device: route only inside a declared kernel mesh whose data axis divides the
+      batch — the dispatch then shard_maps the kernel over that axis (ops/pallas/spmd.py).
+      Sharded graphs built outside ``parallel.mesh.kernel_jit`` keep the XLA math path,
+      since a bare pallas custom call has no SPMD partitioning rule."""
     import os
 
-    if jax.devices()[0].platform == "cpu":
+    from diffsim_tpu.ops.pallas import spmd
+
+    if jax.devices()[0].platform == "cpu" and os.environ.get(
+            "DIFFSIM_TPU_PALLAS_INTERPRET") != "1":
         return False
-    return jax.device_count() == 1 or os.environ.get("DIFFSIM_TPU_FORCE_PALLAS") == "1"
+    if jax.device_count() == 1:
+        return True
+    return spmd.batch_shardable(batch0)
 
 
 def use_fused(q_shape, k_shape) -> bool:
-    """Shape-only predicate; the platform/device-count gate (single_device_tpu) lives at
+    """Shape-only predicate; the platform/SPMD gate (pallas_route) lives at
     the dispatch sites (ops.attention.sdpa, geglu_ff, use_fused_readout)."""
     return (
         q_shape[-2] == k_shape[-2]  # self-attention

@@ -34,6 +34,12 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _interpret() -> bool:
+    from diffsim_tpu.ops.pallas import spmd
+
+    return spmd.interpret_env()
+
+
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     x = x_ref[...]  # (bq, C)
     hg = jax.lax.dot_general(
@@ -49,6 +55,21 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
 
 
 def _forward_impl(x, w1, b1, w2, b2, block_rows):
+    """Kernel forward with SPMD dispatch (see ops/pallas/spmd.py): inside a declared kernel
+    mesh the pallas call is shard_mapped over the row dim; the block size is re-derived
+    from the LOCAL row count (rows are independent, so block choice never changes values)."""
+    from diffsim_tpu.ops.pallas import spmd
+
+    if spmd.batch_shardable(x.shape[0]):
+        return spmd.smap_batch(
+            lambda x, w1, b1, w2, b2: _pallas_forward(
+                x, w1, b1, w2, b2, _block_rows(x.shape[0], x.shape[1])),
+            (True, False, False, False, False),
+        )(x, w1, b1, w2, b2)
+    return _pallas_forward(x, w1, b1, w2, b2, block_rows)
+
+
+def _pallas_forward(x, w1, b1, w2, b2, block_rows):
     n, c = x.shape
     grid = (n // block_rows,)
     return pl.pallas_call(
@@ -70,6 +91,7 @@ def _forward_impl(x, w1, b1, w2, b2, block_rows):
             bytes_accessed=(n * c * 2 + w1.size + w2.size) * x.dtype.itemsize,
             transcendentals=n * w2.shape[0],
         ),
+        interpret=_interpret(),
     )(x, w1, b1, w2, b2)
 
 
@@ -124,16 +146,19 @@ MAX_FUSED_DIM = 640  # W1 must fit VMEM alongside the row tile
 
 
 def _block_rows(n: int, c: int) -> int:
+    """Largest row tile <= 512 (256 for wide c) that DIVIDES n — a non-divisor leaves the
+    last rows unwritten (the grid is n // bq). Halves all the way to 1 so per-shard row
+    counts under SPMD dispatch always get a valid (if small) block."""
     bq = 512 if c <= 320 else 256
-    while bq > 8 and n % bq:
+    while bq > 1 and n % bq:
         bq //= 2
     return bq
 
 
 def use_fused_ff(n: int, c: int, w1_cols: int) -> bool:
-    from diffsim_tpu.ops.pallas.attention import single_device_tpu
+    from diffsim_tpu.ops.pallas.attention import pallas_route
 
-    if not single_device_tpu():
+    if not pallas_route(n):
         return False
     bq = _block_rows(n, c)
-    return c <= MAX_FUSED_DIM and w1_cols == 8 * c and n % bq == 0 and n >= bq
+    return c <= MAX_FUSED_DIM and w1_cols == 8 * c and bq >= 8

@@ -20,6 +20,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _interpret() -> bool:
+    from diffsim_tpu.ops.pallas import spmd
+
+    return spmd.interpret_env()
+
+
 def _kernel(q_ref, k1_ref, v1_ref, k2_ref, v2_ref, out_ref, *, scale, mse):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -51,10 +57,9 @@ def _kernel(q_ref, k1_ref, v1_ref, k2_ref, v2_ref, out_ref, *, scale, mse):
     out_ref[i] = out_ref[i] + update
 
 
-@functools.partial(jax.jit, static_argnames=("mse", "block_q"))
-def cross_self_partials(q, k_cross, v_cross, k_self, v_self, mse: bool = False, block_q: int = 512):
-    """All inputs (N, S, D) with N = P*B*heads flattened. Returns three (N, n_qblocks) f32
-    partial-sum arrays (dot/mse, |cross|^2, |self|^2)."""
+def _pallas_partials(q, k_cross, v_cross, k_self, v_self, mse: bool, block_q: int):
+    """(N, 3, 128) partial buffer for N (local) rows — shapes derived from the args so the
+    same function serves the direct path and each shard of the SPMD path."""
     n, s, d = q.shape
     bq = min(block_q, s)
     nqb = s // bq
@@ -63,7 +68,7 @@ def cross_self_partials(q, k_cross, v_cross, k_self, v_self, mse: bool = False, 
     kv_spec = pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     # partials land in one full-array VMEM buffer (N, 3, 128), accumulated over q-blocks in
     # lane 0; rows are (pair*batch*head) — tiny enough to live in VMEM whole
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, scale=scale, mse=mse),
         out_shape=jax.ShapeDtypeStruct((n, 3, 128), jnp.float32),
         grid_spec=pl.GridSpec(
@@ -79,7 +84,23 @@ def cross_self_partials(q, k_cross, v_cross, k_self, v_self, mse: bool = False, 
             bytes_accessed=n * s * d * 5 * q.dtype.itemsize,
             transcendentals=2 * n * s * s,
         ),
+        interpret=_interpret(),
     )(q, k_cross, v_cross, k_self, v_self)
+
+
+@functools.partial(jax.jit, static_argnames=("mse", "block_q"))
+def cross_self_partials(q, k_cross, v_cross, k_self, v_self, mse: bool = False, block_q: int = 512):
+    """All inputs (N, S, D) with N = P*B*heads flattened. Returns three (N,) f32
+    partial-sum arrays (dot/mse, |cross|^2, |self|^2). Inside a declared kernel mesh the
+    pallas call is shard_mapped over N (rows are independent pairs*batch*heads — see
+    ops/pallas/spmd.py)."""
+    from diffsim_tpu.ops.pallas import spmd
+
+    call = functools.partial(_pallas_partials, mse=mse, block_q=block_q)
+    if spmd.batch_shardable(q.shape[0]):
+        out = spmd.smap_batch(call, (True,) * 5)(q, k_cross, v_cross, k_self, v_self)
+    else:
+        out = call(q, k_cross, v_cross, k_self, v_self)
     return out[:, 0, 0], out[:, 1, 0], out[:, 2, 0]
 
 
@@ -108,8 +129,8 @@ def fused_direction_score(qa, ka, va, kb, vb, similarity: str = "cosine") -> jax
 def use_fused_readout(q_shape) -> bool:
     """Route through the kernel on TPU for self-attention-shaped taps with aligned sequence
     lengths; the XLA path handles everything else (cross-attn K of 77 tokens, CPU, odd S,
-    multi-chip meshes — see attention.single_device_tpu)."""
-    from diffsim_tpu.ops.pallas.attention import single_device_tpu
+    sharded graphs without a declared kernel mesh — see attention.pallas_route)."""
+    from diffsim_tpu.ops.pallas.attention import pallas_route
 
-    _, _, _, s, d = q_shape
-    return s >= 512 and s % 512 == 0 and d <= 128 and single_device_tpu()
+    p, b, h, s, d = q_shape
+    return s >= 512 and s % 512 == 0 and d <= 128 and pallas_route(p * b * h)

@@ -25,6 +25,28 @@ def make_mesh(num_devices: int | None = None, model_axis: int = 1) -> Mesh:
     return Mesh(arr, ("data", "model"))
 
 
+def kernel_jit(fn, mesh: Mesh | None, **jit_kwargs):
+    """jax.jit that declares ``mesh`` as the kernel-SPMD context while tracing ``fn``.
+
+    The Pallas dispatchers (ops/pallas/spmd.py) read this context to shard_map each kernel
+    over the mesh's data axis; without it, multi-device graphs silently fall back to XLA
+    math for every kernel (a bare pallas custom call has no SPMD partitioning rule). Use
+    this instead of jax.jit for any sharded graph that runs UNet/DiT compute or the fused
+    readout. With mesh=None it is plain jax.jit."""
+    import functools
+
+    if mesh is None:
+        return jax.jit(fn, **jit_kwargs)
+    from diffsim_tpu.ops.pallas import spmd
+
+    @functools.wraps(fn)
+    def traced(*args, **kwargs):
+        with spmd.kernel_mesh(mesh):
+            return fn(*args, **kwargs)
+
+    return jax.jit(traced, **jit_kwargs)
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (pair/batch) axis over 'data', replicate the rest."""
     return NamedSharding(mesh, P("data"))

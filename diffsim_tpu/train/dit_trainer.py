@@ -135,8 +135,9 @@ class DiTTrainer:
         if self.mesh is not None:
             ds = meshlib.data_sharding(self.mesh)
             rs = meshlib.replicated(self.mesh)
-            return jax.jit(
+            return meshlib.kernel_jit(
                 step,
+                self.mesh,
                 in_shardings=(rs, rs, ds, ds, ds, ds, rs),
                 out_shardings=(rs, {"loss": rs, "mse": rs, "per_example_loss": ds}),
                 donate_argnums=(0,),
@@ -239,7 +240,8 @@ class DiTTrainer:
             # over the mesh 'data' axis — each chip runs its slice of the denoising loop
             ds = meshlib.data_sharding(self.mesh)
             rs = meshlib.replicated(self.mesh)
-            return jax.jit(fn, in_shardings=(rs, rs, rs, rs), out_shardings=ds)
+            return meshlib.kernel_jit(fn, self.mesh, in_shardings=(rs, rs, rs, rs),
+                                      out_shardings=ds)
         return jax.jit(fn)
 
     def sample(self, labels: np.ndarray, key, cfg_scale: float | None = None,

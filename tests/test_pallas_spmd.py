@@ -1,0 +1,178 @@
+"""Pallas kernels on multi-device meshes (ops/pallas/spmd.py).
+
+Round-3 gap: the kernels were gated to single-device graphs, so the production v5e-8 mesh
+silently lost the whole kernel campaign. The dispatchers now shard_map each kernel over the
+data axis of the mesh declared by parallel.mesh.kernel_jit; these tests prove, on the
+8-device virtual CPU mesh with DIFFSIM_TPU_PALLAS_INTERPRET=1 (generic-interpreter
+lowering), that (a) the dispatchers actually route there, (b) results match the XLA math
+path, (c) grads (the DiT training path) survive, and (d) the full production triplet
+scoring graph routes its kernels under the mesh with unchanged scores.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import diffsim_tpu.ops.pallas.spmd as spmd
+from diffsim_tpu.ops.pallas import attention as pattn
+from diffsim_tpu.parallel import mesh as meshlib
+
+
+@pytest.fixture
+def interpret_env(monkeypatch):
+    monkeypatch.setenv("DIFFSIM_TPU_PALLAS_INTERPRET", "1")
+
+
+def _mesh():
+    return meshlib.make_mesh(8)
+
+
+def _sharded(mesh, *arrs):
+    ds = meshlib.data_sharding(mesh)
+    return tuple(jax.device_put(a, ds) for a in arrs)
+
+
+def test_pallas_route_gate(interpret_env, monkeypatch):
+    """Multi-device routing requires BOTH the ambient kernel mesh and divisibility."""
+    assert not pattn.pallas_route(8)  # 8 devices, no declared mesh
+    mesh = _mesh()
+    with spmd.kernel_mesh(mesh):
+        assert pattn.pallas_route(8)
+        assert not pattn.pallas_route(9)  # not divisible by the data axis
+    monkeypatch.delenv("DIFFSIM_TPU_PALLAS_INTERPRET")
+    with spmd.kernel_mesh(mesh):
+        assert not pattn.pallas_route(8)  # CPU without the interpret hook never routes
+
+
+def test_kernel_mesh_noop_for_trivial_axis():
+    assert spmd.current_kernel_mesh() is None
+    with spmd.kernel_mesh(None):
+        assert spmd.current_kernel_mesh() is None
+    one = meshlib.make_mesh(1)
+    with spmd.kernel_mesh(one):
+        assert spmd.current_kernel_mesh() is None
+
+
+def test_sdpa_routes_and_matches_on_mesh(interpret_env):
+    """The sdpa dispatcher inside a kernel_jit graph shard_maps the fused kernel; scores
+    match the XLA math path (deferred-normalization rounding only)."""
+    from diffsim_tpu.ops.attention import sdpa
+
+    mesh = _mesh()
+    ds = meshlib.data_sharding(mesh)
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.standard_normal((16, 2, 256, 32)), jnp.float32) * 0.3
+               for _ in range(3))
+    calls = spmd.SMAP_CALLS
+    fn = meshlib.kernel_jit(sdpa, mesh, in_shardings=(ds, ds, ds), out_shardings=ds)
+    out = np.asarray(fn(*_sharded(mesh, q, k, v)))
+    assert spmd.SMAP_CALLS == calls + 1, "kernel did not take the shard_map path"
+    ref = np.asarray(jax.nn.softmax((q @ jnp.swapaxes(k, -1, -2)) * 32**-0.5, -1) @ v)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_fused_attention_grad_on_mesh(interpret_env):
+    """jax.grad through the shard_mapped fused forward (the multi-chip DiT training path)
+    matches the XLA-math gradient."""
+    from diffsim_tpu.ops.pallas.attention import fused_self_attention
+
+    mesh = _mesh()
+    ds = meshlib.data_sharding(mesh)
+    rng = np.random.default_rng(1)
+    q, k, v = (jnp.asarray(rng.standard_normal((8, 2, 256, 16)), jnp.float32) * 0.3
+               for _ in range(3))
+
+    gfn = meshlib.kernel_jit(
+        jax.grad(lambda q, k, v: jnp.sum(fused_self_attention(q, k, v)), argnums=(0, 1, 2)),
+        mesh, in_shardings=(ds, ds, ds), out_shardings=(ds, ds, ds))
+    grads = gfn(*_sharded(mesh, q, k, v))
+
+    def ref_loss(q, k, v):
+        return jnp.sum(jax.nn.softmax((q @ jnp.swapaxes(k, -1, -2)) * 16**-0.5, -1) @ v)
+
+    grads_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(grads, grads_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=2e-4, err_msg=name)
+
+
+def test_geglu_ff_routes_and_matches_on_mesh(interpret_env):
+    from diffsim_tpu.ops import blocks as B
+
+    mesh = _mesh()
+    ds = meshlib.data_sharding(mesh)
+    rng = np.random.default_rng(2)
+    c = 32
+    p = {"proj_in": {"w": jnp.asarray(rng.standard_normal((c, 8 * c)), jnp.float32) * 0.1,
+                     "b": jnp.asarray(rng.standard_normal(8 * c), jnp.float32) * 0.1},
+         "proj_out": {"w": jnp.asarray(rng.standard_normal((4 * c, c)), jnp.float32) * 0.1,
+                      "b": jnp.asarray(rng.standard_normal(c), jnp.float32) * 0.1}}
+    x = jnp.asarray(rng.standard_normal((8, 16, c)), jnp.float32)
+    calls = spmd.SMAP_CALLS
+    fn = meshlib.kernel_jit(lambda x: B.geglu_ff(p, x), mesh,
+                            in_shardings=(ds,), out_shardings=ds)
+    out = np.asarray(fn(*_sharded(mesh, x)))
+    assert spmd.SMAP_CALLS == calls + 1
+    h, g = jnp.split(x @ p["proj_in"]["w"] + p["proj_in"]["b"], 2, axis=-1)
+    ref = np.asarray((h * jax.nn.gelu(g, approximate=False)) @ p["proj_out"]["w"]
+                     + p["proj_out"]["b"])
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_readout_routes_and_matches_on_mesh(interpret_env, monkeypatch):
+    from diffsim_tpu.metrics.readout import cross_attention_score
+
+    mesh = _mesh()
+    ds = meshlib.data_sharding(mesh)
+    rng = np.random.default_rng(3)
+    P, B, H, S, D = 8, 2, 2, 512, 16
+    arrs = tuple(jnp.asarray(rng.standard_normal((P, B, H, S, D)), jnp.float32)
+                 for _ in range(6))
+    calls = spmd.SMAP_CALLS
+    fn = meshlib.kernel_jit(lambda *a: cross_attention_score(*a, "cosine"), mesh,
+                            in_shardings=(ds,) * 6, out_shardings=ds)
+    out = np.asarray(fn(*_sharded(mesh, *arrs)))
+    # one trace: the second direction hits cross_self_partials' inner-jit trace cache
+    assert spmd.SMAP_CALLS >= calls + 1
+    monkeypatch.delenv("DIFFSIM_TPU_PALLAS_INTERPRET")
+    ref = np.asarray(cross_attention_score(*arrs, "cosine"))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_triplet_graph_routes_kernels_on_mesh(interpret_env, tmp_path):
+    """End-to-end: the production triplet scoring graph routes kernels through kernel_jit's
+    declared mesh and scores match the XLA path. At the CPU-affordable 32px tiny scale only
+    the GEGLU-FF site clears its routing window (the 16-token attention sites stay on XLA)
+    — which is exactly what's needed here: proof the scorer graphs carry the kernel-mesh
+    context. Full attention/readout SPMD numerics are pinned by the kernel-level tests
+    above (a 128px run, where the attention sites route too, measured 5.5 min on this
+    host — too slow for the suite)."""
+    from PIL import Image
+
+    from diffsim_tpu.metrics.diffsim_sd15 import DiffSimSD15
+    from diffsim_tpu.models import clip_text, unet, vae
+
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)).save(p)
+        paths.append(str(p))
+
+    def scorer():
+        return DiffSimSD15(
+            unet_cfg=unet.UNetConfig.tiny(), vae_cfg=vae.VAEConfig.tiny(),
+            text_cfg=clip_text.CLIPTextConfig.tiny(), img_size=32,
+            dtype=np.float32, mesh=_mesh(),
+        )
+
+    kw = dict(prompt="p", target_step=600)
+    calls = spmd.SMAP_CALLS
+    routed = scorer().score_triplet_paths(paths[0:2], paths[2:4], paths[4:6], **kw)
+    assert spmd.SMAP_CALLS > calls, "no kernel took the shard_map path in the triplet graph"
+    import os
+
+    os.environ.pop("DIFFSIM_TPU_PALLAS_INTERPRET", None)
+    plain = scorer().score_triplet_paths(paths[0:2], paths[2:4], paths[4:6], **kw)
+    np.testing.assert_allclose(routed[0], plain[0], atol=5e-5)
+    np.testing.assert_allclose(routed[1], plain[1], atol=5e-5)
