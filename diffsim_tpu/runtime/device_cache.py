@@ -28,7 +28,9 @@ from typing import Callable, Hashable, Sequence
 
 import numpy as np
 
-UPLOAD_BUCKETS = (4, 16, 64)  # slab sizes the update program is compiled for
+UPLOAD_BUCKETS = (2, 4, 8, 16, 32, 64)  # slab sizes the update program is compiled for
+# (power-of-two ladder: padding waste stays <2x of the true miss count — pixel rows are
+# ~0.8 MB each through the relay — while the update program still compiles <= 6 times)
 
 
 class DeviceFeatureCache:
