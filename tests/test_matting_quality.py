@@ -34,16 +34,52 @@ def test_fixture_is_deterministic():
 
 def test_heuristic_matting_quality_pins(table):
     """Measured means (slack ~20% below) — a regression in heuristic_matting or the FFA mask
-    path moves these. The border category is the heuristic's DOCUMENTED blind spot; the pin
-    is an upper bound there so an accidental 'fix' that games the fixture also trips."""
+    path moves these."""
     # measured (tools/matting_eval.py): centered 1.000, textured_bg 0.769,
-    # low_contrast 0.493, border 0.000
+    # low_contrast 0.493, border 0.857 (after center-prior inversion detection;
+    # 0.000 with center_prior=False — the raw border statistics are object-poisoned)
     assert table["centered"]["iou"] >= 0.9, table
     assert table["textured_bg"]["iou"] >= 0.6, table
     assert table["low_contrast"]["iou"] >= 0.35, table
-    # border-dominating objects poison the border statistics: a total failure (measured
-    # IoU 0.000), and that fact is part of the parity notes
-    assert table["border"]["iou"] <= 0.3, table
+    assert table["border"]["iou"] >= 0.5, table
+
+
+def test_center_prior_detects_and_inverts_border_failure():
+    """The border-dominant blind spot (round-3 parity note: IoU 0.000) is auto-detected from
+    the matte's own statistics and inverted, with a per-image warning; opting out reproduces
+    the raw (failing) behavior."""
+    import warnings
+
+    from diffsim_tpu.metrics.ffa import heuristic_matting
+
+    for cat, img, gt in ME.make_fixture(0):
+        if cat != "border":
+            continue
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            fixed = (np.asarray(heuristic_matting(img))[..., 3] > 0).astype(np.uint8)
+        assert any("inverted" in str(x.message) for x in w), "no per-image warning"
+        raw = (np.asarray(heuristic_matting(img, center_prior=False))[..., 3] > 0).astype(np.uint8)
+        assert ME.iou(raw, gt) <= 0.1, "fixture no longer exercises the blind spot"
+        assert ME.iou(fixed, gt) >= 0.5, (ME.iou(fixed, gt), "inversion did not recover")
+
+
+def test_center_prior_leaves_good_mattes_alone():
+    """Non-border categories must produce NO inversion warnings and identical mattes with
+    and without the prior."""
+    import warnings
+
+    from diffsim_tpu.metrics.ffa import heuristic_matting
+
+    for cat, img, gt in ME.make_fixture(0):
+        if cat == "border":
+            continue
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            a = np.asarray(heuristic_matting(img))
+        assert not w, (cat, [str(x.message) for x in w])
+        b = np.asarray(heuristic_matting(img, center_prior=False))
+        np.testing.assert_array_equal(a, b)
 
 
 def test_pooling_sensitivity_tracks_mask_quality(table):
