@@ -105,6 +105,12 @@ def arg_parse(argv=None):
     parser.add_argument("--results", type=str, default=None, help="JSONL results path (enables resume)")
     parser.add_argument("--no_cfg_parity", dest="cfg_parity", action="store_false",
                         help="Drop the CFG uncond half (2x faster, not score-parity with torch)")
+    parser.add_argument("--bf16_softmax", action="store_true",
+                        help="Fast mode: UNet attention softmax probabilities in bfloat16 "
+                             "(halves the VPU traffic over the 4096-token score tiles). "
+                             "NOT bit-parity with torch's f32 softmax; ranking agreement "
+                             "is benched in BENCH_FAST.json. Combine with --no_cfg_parity "
+                             "for the fastest documented configuration")
     parser.add_argument("--xl_vae_bf16", action="store_true",
                         help="SDXL: encode with a bf16 VAE instead of the reference's fp32 "
                              "(its fp16-overflow rationale doesn't exist in bf16). Halves "

@@ -84,6 +84,7 @@ class DiffSimSD15(ScorerBase):
         cfg_parity: bool = True,
         guidance_scale: float = 7.5,
         vae_mode: bool = False,
+        fast_softmax: bool = False,
         init_seed: int = 0,
     ):
         # vae_mode=True uses the posterior mean (diffusers .mode()) instead of sampling —
@@ -100,6 +101,11 @@ class DiffSimSD15(ScorerBase):
         # (quirk Q1, /root/reference/diffsim/diffsim_pipeline.py:140-141,208). cfg_parity=False
         # drops the uncond half for a ~2x speedup at the cost of exact score parity.
         self.cfg_parity = cfg_parity and guidance_scale > 1.0
+        # fast mode (--bf16_softmax): UNet attention probabilities in bf16
+        # (ops.attention.fast_softmax) — faster, NOT torch-f32-softmax-parity; the VAE
+        # encode stays f32-softmax so cached moments are identical across modes.
+        # Set at construction only: the graph builders are lru_cached per (self, tap, ...).
+        self.fast_softmax = fast_softmax
         if tokenizer is None and params is not None:
             # same loud-warning contract as _auto_enable_ip: the run keeps working (tests,
             # throughput) but converted weights + hash-tokenized prompts score garbage
@@ -281,6 +287,9 @@ class DiffSimSD15(ScorerBase):
                 qb = qb * w_lat[:, 1, None, None, :, None].astype(qb.dtype)
             return readout.cross_attention_score(qa, ka, va, qb, kb, vb, similarity)
 
+        # fast mode wraps the WHOLE pair graph (VAE included) — unlike the triplet
+        # path, whose VAE encode stays f32 (cached moments must be mode-independent)
+        fn = self._wrap_fast_softmax(fn)
         if self.mesh is not None:
             ds = meshlib.data_sharding(self.mesh)
             rs = meshlib.replicated(self.mesh)
@@ -292,6 +301,20 @@ class DiffSimSD15(ScorerBase):
             )
         return jax.jit(fn)
 
+
+    def _wrap_fast_softmax(self, fn):
+        """Enter the bf16-softmax context while TRACING fn (same trace-time-context
+        pattern as parallel.mesh.kernel_jit)."""
+        if not self.fast_softmax:
+            return fn
+        from diffsim_tpu.ops import attention as attention_mod
+
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            with attention_mod.fast_softmax(True):
+                return fn(*args, **kwargs)
+
+        return wrapped
 
     @functools.lru_cache(maxsize=32)
     def _triplet_tail(self, tap: TapSpec, similarity: str):
@@ -348,7 +371,7 @@ class DiffSimSD15(ScorerBase):
             )
             return s_ab, s_ac
 
-        return fn
+        return self._wrap_fast_softmax(fn)
 
     @functools.lru_cache(maxsize=32)
     def _triplet_body(self, tap: TapSpec, similarity: str):
@@ -565,7 +588,12 @@ class DiffSimSD15(ScorerBase):
                     rows.append(load_and_process_u8(k, self.img_size)[0])
             # resolve loader futures (threaded decode) after all are submitted
             rows = [r.result()[0] if hasattr(r, "result") else r for r in rows]
-            return np.stack(rows)
+            out = np.stack(rows)
+            assert out.dtype == np.uint8, (
+                f"moment-cache rows must be uint8 pixel transport (got {out.dtype}) — "
+                "pass a loader built with the u8 preprocess (process_image_u8)"
+            )
+            return out
 
         cache = self._ensure_moment_cache()
         slots = cache.ensure(keys, rows_for)

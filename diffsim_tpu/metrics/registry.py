@@ -100,6 +100,7 @@ def build_metric(args, mesh=None) -> MetricAdapter:
             img_size=args.image_size,
             mesh=mesh,
             cfg_parity=getattr(args, "cfg_parity", True),
+            fast_softmax=getattr(args, "bf16_softmax", False),
             tokenizer=_load_tokenizer(getattr(args, "tokenizer_dir", None)),
             **kw,
         )

@@ -9,8 +9,36 @@ internally). Shapes follow the reference tap layout (B, heads, seq, head_dim)
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax
 import jax.numpy as jnp
+
+_FAST_SOFTMAX: contextvars.ContextVar = contextvars.ContextVar("fast_softmax", default=False)
+
+
+@contextlib.contextmanager
+def fast_softmax(enabled: bool = True):
+    """Trace-time opt-in: compute attention softmax probabilities in bfloat16 instead of
+    float32 (the --bf16_softmax fast mode). Halves the VPU traffic over the (seq, seq)
+    score tiles — the dominant elementwise cost at the 4096-token sites (measured ~+2.5
+    pairs/s on v5e) — but BREAKS bit-parity with torch's f32-softmax
+    F.scaled_dot_product_attention; ranking agreement is benched in BENCH_FAST.json.
+    Scoring-graph builders enter this context while tracing (the flag is read at trace
+    time, like ops/pallas/spmd.kernel_mesh)."""
+    if not enabled:
+        yield
+        return
+    token = _FAST_SOFTMAX.set(True)
+    try:
+        yield
+    finally:
+        _FAST_SOFTMAX.reset(token)
+
+
+def fast_softmax_enabled() -> bool:
+    return _FAST_SOFTMAX.get()
 
 
 def sdpa(
@@ -37,10 +65,13 @@ def sdpa(
         )
 
         if use_fused(q.shape, k.shape) and pallas_route(q.shape[0]):
-            return fused_self_attention(q, k, v)
+            return fused_self_attention(q, k, v, bf16_probs=fast_softmax_enabled())
     logits = jnp.einsum(
         "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
     )
+    if fast_softmax_enabled():
+        # fast mode: probabilities in bf16 (max subtraction still in f32 for range safety)
+        logits = (logits - jnp.max(logits, axis=-1, keepdims=True)).astype(jnp.bfloat16)
     weights = jax.nn.softmax(logits * scale, axis=-1)
     out = jnp.einsum(
         "...qk,...kd->...qd",

@@ -37,7 +37,7 @@ def _interpret() -> bool:
     return spmd.interpret_env()
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, bf16_probs=False):
     q = q_ref[0]  # (bq, D)
     k = k_ref[0]  # (S, D)
     v = v_ref[0]
@@ -47,10 +47,15 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     # softmax(scale * l) == exp(scale * (l - max l)) / sum(...): one fused elementwise
     # chain over the score tile instead of separate scale and divide passes
     m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp((logits - m) * scale)
+    centered = logits - m
+    if bf16_probs:
+        # fast mode (ops.attention.fast_softmax): exp/sum over the (bq, S) tile in bf16 —
+        # half the VPU bytes on the dominant elementwise passes; f32 max keeps range safety
+        centered = centered.astype(jnp.bfloat16)
+    e = jnp.exp(centered * scale)
     s = jnp.sum(e, axis=-1, keepdims=True)
     pv = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0] = (pv * (1.0 / s)).astype(o_ref.dtype)
+    o_ref[0] = (pv * (1.0 / s.astype(jnp.float32))).astype(o_ref.dtype)
 
 
 def _block_q(s: int, d: int) -> int:
@@ -69,7 +74,7 @@ def _block_q(s: int, d: int) -> int:
     return bq
 
 
-def _forward_impl(q, k, v, block_q):
+def _forward_impl(q, k, v, block_q, bf16_probs=False):
     """Kernel forward with SPMD dispatch: inside a declared kernel mesh (multi-device
     graphs) the pallas call is shard_mapped over the batch dim — per-shard invocation is
     exact because attention never mixes batch rows. See ops/pallas/spmd.py."""
@@ -77,12 +82,13 @@ def _forward_impl(q, k, v, block_q):
 
     if spmd.batch_shardable(q.shape[0]):
         return spmd.smap_batch(
-            lambda q, k, v: _pallas_forward(q, k, v, block_q), (True, True, True)
+            lambda q, k, v: _pallas_forward(q, k, v, block_q, bf16_probs),
+            (True, True, True),
         )(q, k, v)
-    return _pallas_forward(q, k, v, block_q)
+    return _pallas_forward(q, k, v, block_q, bf16_probs)
 
 
-def _pallas_forward(q, k, v, block_q):
+def _pallas_forward(q, k, v, block_q, bf16_probs=False):
     b, h, s, d = q.shape
     # NOTE: max is taken over UNSCALED logits and the scale folded into exp's operand —
     # mathematically identical for scale > 0 (see module docstring)
@@ -93,7 +99,7 @@ def _pallas_forward(q, k, v, block_q):
     v3 = v.reshape(b * h, s, d)
     grid = (b * h, s // bq)
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale),
+        functools.partial(_kernel, scale=scale, bf16_probs=bf16_probs),
         out_shape=jax.ShapeDtypeStruct((b * h, s, d), v.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -114,16 +120,16 @@ def _pallas_forward(q, k, v, block_q):
     return out.reshape(b, h, s, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _fused_core(q, k, v, block_q):
-    return _forward_impl(q, k, v, block_q)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_core(q, k, v, block_q, bf16_probs=False):
+    return _forward_impl(q, k, v, block_q, bf16_probs)
 
 
-def _fused_fwd(q, k, v, block_q):
-    return _forward_impl(q, k, v, block_q), (q, k, v)
+def _fused_fwd(q, k, v, block_q, bf16_probs=False):
+    return _forward_impl(q, k, v, block_q, bf16_probs), (q, k, v)
 
 
-def _fused_bwd(block_q, res, g):
+def _fused_bwd(block_q, bf16_probs, res, g):
     """Standard attention backward in XLA math (f32 softmax recompute) — the training path
     (DiT blocks under jax.grad) differentiates through the fused forward. Materializes the
     (S, S) weights in HBM like XLA's own attention backward would; training sequence lengths
@@ -148,15 +154,17 @@ def _fused_bwd(block_q, res, g):
 _fused_core.defvjp(_fused_fwd, _fused_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q",))
-def fused_self_attention(q: jax.Array, k: jax.Array, v: jax.Array, block_q: int | None = None):
+@functools.partial(jax.jit, static_argnames=("block_q", "bf16_probs"))
+def fused_self_attention(q: jax.Array, k: jax.Array, v: jax.Array, block_q: int | None = None,
+                         bf16_probs: bool = False):
     """(B, H, S, D) self-attention, softmax scale 1/sqrt(D). S must be a multiple of the
     q block (the UNet's token counts are powers of two). Differentiable: the backward is a
-    custom VJP in XLA math (_fused_bwd), so training graphs (DiT) can route through the
-    fused forward."""
+    custom VJP in XLA math (_fused_bwd; always f32 softmax — bf16_probs is a forward-only
+    fast mode for scoring graphs), so training graphs (DiT) can route through the fused
+    forward."""
     s, d = q.shape[-2], q.shape[-1]
     bq = block_q or _block_q(s, d)
-    return _fused_core(q, k, v, bq)
+    return _fused_core(q, k, v, bq, bf16_probs)
 
 
 # self-attention sites worth routing through the kernel: every square UNet site with >= 256

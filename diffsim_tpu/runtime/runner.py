@@ -102,6 +102,21 @@ def run_2afc(
     # prefetch image decode ahead of the device
     chunks = [pending[i : i + batch] for i in range(0, len(pending), batch)]
 
+    # Cached-path mode: when every input is an on-disk path and the adapter keys images in
+    # the device-resident feature cache, the runner must NOT decode the batch itself —
+    # that's one decode per REFERENCE (the reference's own behavior,
+    # /root/reference/diffsim/diffsim.py:103-106, measured at ~5 s/batch of host decode on
+    # this 1-core host — it throttled the first full-scale CUTE run to <2 pairs/s). The
+    # adapter decodes only cache MISSES via the loader (one decode per UNIQUE image).
+    use_paths = (
+        score_triplet_paths is not None
+        and mask_fn is None
+        and all(
+            isinstance(getattr(comparisons[i], r), (str, _os.PathLike))
+            for i in pending for r in "abc"
+        )
+    )
+
     mask_pool = None
     if mask_fn is not None:
         import concurrent.futures as _futures
@@ -109,6 +124,8 @@ def run_2afc(
         mask_pool = _futures.ThreadPoolExecutor(max_workers=8)
 
     def decode(chunk):
+        if use_paths:
+            return None  # no per-reference decode: the adapter fills cache misses itself
         futs = []
         for i in chunk:
             c = comparisons[i]
@@ -155,13 +172,19 @@ def run_2afc(
     while inflight:
         chunk, futs = inflight.pop(0)
         with timer.stage("decode"):
-            arrs = [tuple(f.result() for f in entry) for entry in futs]
+            arrs = None if futs is None else [
+                tuple(f.result() for f in entry) for entry in futs
+            ]
         if ci < len(chunks):
             inflight.append((chunks[ci], decode(chunks[ci])))
             ci += 1
         prompts = [comparisons[i].prompt for i in chunk]
         with timer.stage("dispatch"):
-            if mask_fn is not None:
+            if use_paths:
+                roles = [[getattr(comparisons[i], r) for i in chunk] for r in "abc"]
+                result = score_triplet_paths(*roles, None, None, None, prompts,
+                                             blocking=False, loader=loader)
+            elif mask_fn is not None:
                 pix_a = np.concatenate([e[0] for e in arrs] * 2, axis=0)
                 pix_bc = np.concatenate([e[1] for e in arrs] + [e[2] for e in arrs], axis=0)
                 m_a = np.concatenate([e[3] for e in arrs] * 2, axis=0)

@@ -305,3 +305,31 @@ def test_use_text_attn_taps_cross_attention(scorer):
     t_ab, t_ac = scorer.score_triplet_batch(a, b, c, prompt="a cat", target_step=600,
                                             text_attn=True)
     np.testing.assert_allclose(t_ab, s_text, atol=2e-5)
+
+
+def test_fast_softmax_flag_reaches_the_graph(tmp_path):
+    """--bf16_softmax (scorer fast_softmax=True): scores shift by bf16-softmax rounding —
+    close to, but NOT bit-equal with, the canonical f32-softmax graph (proving the
+    trace-time context actually reroutes the attention math). Ranking agreement at full
+    scale is benched on-chip (BENCH_FAST.json)."""
+    import numpy as np
+
+    from diffsim_tpu.models import clip_text, unet, vae
+
+    def scorer(fast):
+        return DiffSimSD15(
+            unet_cfg=unet.UNetConfig.tiny(), vae_cfg=vae.VAEConfig.tiny(),
+            text_cfg=clip_text.CLIPTextConfig.tiny(), img_size=32,
+            dtype=np.float32, fast_softmax=fast,
+        )
+
+    rng = np.random.default_rng(11)
+    pix = [rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8) for _ in range(3)]
+    kw = dict(prompt="p", target_step=600)
+    ref = scorer(False).score_triplet_batch(*pix, **kw)
+    fast = scorer(True).score_triplet_batch(*pix, **kw)
+    np.testing.assert_allclose(fast[0], ref[0], atol=0.05)
+    np.testing.assert_allclose(fast[1], ref[1], atol=0.05)
+    assert not np.array_equal(np.asarray(fast[0]), np.asarray(ref[0])), (
+        "fast mode produced bit-identical scores — the flag never reached the graph"
+    )
