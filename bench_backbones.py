@@ -3,9 +3,9 @@ SDXL at 1024px (BASELINE.json config 4 — the reference's heaviest published co
 /root/reference/README.md:62,91) and DiT-XL/2 at 512px.
 
 bench.py stays the canonical SD-1.5 flagship line; this prints one JSON line per backbone
-and (with --out) writes them to a JSON file. Proves the 1024px SDXL program compiles and
-runs through the relay (lax.map-chunked VAE) and records pairs/s for all three backbones
-(SD-1.5 number comes from bench.py).
+and (with --out) writes them to a JSON file. The primary number per backbone drives the
+device-cache path (score_triplet_paths) under the same protocol-faithful ~10x image reuse
+bench.py uses; `fresh` is the zero-reuse floor (every image uploaded + encoded each time).
 
 Usage: python bench_backbones.py [--out BENCH_BACKBONES.json] [--windows 3]
 """
@@ -18,48 +18,105 @@ import time
 
 import numpy as np
 
-# reference wall-time context: ">30 min" per benchmark on one GPU; Sref's 4000 pairs in 30
-# min ~= 2.2 pairs/s is the same generous 1.0x anchor bench.py uses. SDXL at 1024px is
-# ~5.3x the SD-1.5@512 compute (latent 128^2 vs 64^2, 2.6B vs 0.86B), so the anchor there
-# is scaled down by the same factor the reference's own XL runs slow down; we keep 1.0x =
-# 2.2 pairs/s for comparability and report raw pairs/s alongside.
-BASELINE_PAIRS_PER_SEC = 2.2
+# Per-backbone baselines. The reference wall-time anchor is SD-1.5@512: 4000 pair-scores
+# in ">30 minutes" ~= 2.2 pairs/s on an A100-class GPU (/root/reference/README.md:91, the
+# generous reading bench.py uses). Heavier backbones run proportionally slower on the
+# reference too, so each gets 2.2 / (FLOPs ratio vs SD-1.5@512), with ratios measured from
+# XLA's post-optimization cost analysis of the production scoring graphs
+# (tools/flops_ratio.py): sd15@512 2.84 TFLOP/pair, sdxl@1024 19.08 (6.72x),
+# dit@512 3.22 (1.13x). Assumes the reference GPU sustains similar MFU across backbones.
+SD15_BASELINE_PAIRS_PER_SEC = 2.2
+XL_OVER_SD15_FLOPS = 6.719
+DIT_OVER_SD15_FLOPS = 1.133
+XL_BASELINE = SD15_BASELINE_PAIRS_PER_SEC / XL_OVER_SD15_FLOPS  # 0.327 pairs/s
+DIT_BASELINE = SD15_BASELINE_PAIRS_PER_SEC / DIT_OVER_SD15_FLOPS  # 1.942 pairs/s
+REUSE = 10  # CUTE references each unique image ~10x (see bench.py)
 
 
-def _bench_scorer(scorer, metric_name: str, img: int, windows: int, iters: int, T: int,
-                  **kwargs) -> dict:
-    """Shared timing protocol: async-queue ``iters`` triplet batches per window, fetch all
-    (the fetch is what waits for remote execution — CLAUDE.md relay semantics), best-of-N
-    windows with the median alongside."""
+class ReuseWorkload:
+    """CUTE-shaped triplet batches of PATH keys (see bench.py): new unique image with
+    p = 1/REUSE per slot, else a redraw from the seen pool."""
+
+    def __init__(self, rng, img: int, ring: int = 12):
+        self.rng = rng
+        self.ring = [rng.integers(0, 256, (img, img, 3), dtype=np.uint8)
+                     for _ in range(ring)]
+        self.pool: list[str] = []
+        self.pix_of: dict[str, np.ndarray] = {}
+        self.n = 0
+
+    def _slot(self) -> str:
+        if not self.pool or self.rng.random() < 1.0 / REUSE:
+            key = f"/bench/u{self.n}.png"
+            self.pix_of[key] = self.ring[self.n % len(self.ring)]
+            self.pool.append(key)
+            self.n += 1
+            return key
+        return self.pool[self.rng.integers(len(self.pool))]
+
+    def batch(self, triplets: int):
+        paths = [[self._slot() for _ in range(triplets)] for _ in range(3)]
+        pix = [np.stack([self.pix_of[p] for p in role]) for role in paths]
+        return paths, pix
+
+
+def _bench(scorer, img: int, windows: int, iters: int, T: int, baseline: float,
+           metric: str, **kwargs) -> dict:
+    """Timing protocol (CLAUDE.md relay semantics): async-queue, fetch all; best + median
+    over windows. Primary = cached path under reuse; `fresh` = zero-reuse floor."""
     rng = np.random.default_rng(0)
-    pix = [rng.integers(0, 256, (T, img, img, 3), dtype=np.uint8) for _ in range(3)]
-    scorer.score_triplet_batch(*pix, **kwargs)  # compile + warm
-    times = []
-    for _ in range(windows):
+    work = ReuseWorkload(rng, img)
+    for _ in range(2):
+        paths, pix = work.batch(T)
+        scorer.score_triplet_paths(*paths, *pix, **kwargs)
+
+    def cached_window():
         t0 = time.perf_counter()
-        fetches = [scorer.score_triplet_batch(*pix, blocking=False, **kwargs)
+        fetches = []
+        for _ in range(iters):
+            paths, pix = work.batch(T)
+            fetches.append(scorer.score_triplet_paths(*paths, *pix, blocking=False, **kwargs))
+        for f in fetches:
+            f()
+        return time.perf_counter() - t0
+
+    times = [cached_window() for _ in range(windows)]
+    pairs = iters * T * 2
+
+    pix3 = [rng.integers(0, 256, (T, img, img, 3), dtype=np.uint8) for _ in range(3)]
+    scorer.score_triplet_batch(*pix3, **kwargs)
+
+    def fresh_window():
+        t0 = time.perf_counter()
+        fetches = [scorer.score_triplet_batch(*pix3, blocking=False, **kwargs)
                    for _ in range(iters)]
         for f in fetches:
             f()
-        times.append(time.perf_counter() - t0)
-    pairs = iters * T * 2
+        return time.perf_counter() - t0
+
+    fresh_times = [fresh_window() for _ in range(windows)]
     best = pairs / min(times)
     return {
-        "metric": metric_name,
+        "metric": metric,
         "value": round(best, 3),
         "unit": "pairs/s/chip",
-        "vs_baseline": round(best / BASELINE_PAIRS_PER_SEC, 2),
+        "vs_backbone_baseline": round(best / baseline, 2),
+        "vs_sd15_baseline": round(best / SD15_BASELINE_PAIRS_PER_SEC, 2),
+        "backbone_baseline_pairs_per_sec": round(baseline, 3),
         "median": round(pairs / float(np.median(times)), 3),
-        "windows": len(times),
+        "windows": windows,
+        "reuse": REUSE,
+        "fresh": round(pairs / min(fresh_times), 3),
+        "fresh_median": round(pairs / float(np.median(fresh_times)), 3),
     }
 
 
 def bench_xl(windows: int, iters: int = 2, batch_triplets: int = 2) -> dict:
     from diffsim_tpu.metrics.diffsim_xl import DiffSimXL
 
-    return _bench_scorer(
-        DiffSimXL(img_size=1024), "sdxl_diffsim_pairs_per_sec_per_chip_1024px", 1024,
-        windows, iters, batch_triplets,
+    return _bench(
+        DiffSimXL(img_size=1024), 1024, windows, iters, batch_triplets, XL_BASELINE,
+        "sdxl_diffsim_pairs_per_sec_per_chip_1024px",
         prompt="The photo of a benchmark", target_block="up_blocks",
         target_layer=(0, 1, 1), target_step=900, similarity="cosine", seed=2334,
     )
@@ -68,9 +125,9 @@ def bench_xl(windows: int, iters: int = 2, batch_triplets: int = 2) -> dict:
 def bench_dit(windows: int, iters: int = 4, batch_triplets: int = 8) -> dict:
     from diffsim_tpu.metrics.diffsim_dit import DiffSimDiT
 
-    return _bench_scorer(
-        DiffSimDiT(img_size=512), "dit_diffsim_pairs_per_sec_per_chip_512px", 512,
-        windows, iters, batch_triplets,
+    return _bench(
+        DiffSimDiT(img_size=512), 512, windows, iters, batch_triplets, DIT_BASELINE,
+        "dit_diffsim_pairs_per_sec_per_chip_512px",
         target_layer=13, target_step=600, similarity="cosine", seed=2334,
     )
 

@@ -132,6 +132,7 @@ def run_benchmark(benchmark: str, argv=None) -> runner.Report:
             adapter.score_pairs,
             score_triplets=adapter.score_triplets,
             score_triplet_paths=adapter.score_triplet_paths,
+            prewarm=adapter.prewarm,
             rule=rule,
             lower_better=lower,
             img_size=args.image_size,

@@ -110,22 +110,16 @@ class DiffSimDiT(ScorerBase):
         return self._jit_pairs(fn, n_data=1)
 
     @functools.lru_cache(maxsize=16)
-    def _triplet_fn(self, tap: TapSpec, similarity: str):
-        """Triplet-fused variant: image A's latents/noise/forwards are shared between
-        sim(A,B) and sim(A,C) — bit-identical to two pair calls (the reference reseeds its
-        generator per call)."""
+    def _triplet_tail(self, tap: TapSpec, similarity: str):
+        """moments (T,3,h,h,2C) pair-major -> (s_ab, s_ac): everything downstream of the
+        VAE encode, shared verbatim by the pixel path (_triplet_fn) and the cached-moment
+        path (_cached_triplet_fn) so cache hits score bit-identically."""
         cfg, vae_cfg = self.dit_cfg, self.vae_cfg
         latent_c = vae_cfg.latent_channels
-        down = vae_cfg.downscale
 
-        def fn(params, pix, noise_sab, key):
+        def fn(params, moments, noise_sab, key):
             model_t, a, b = noise_sab
-            T, three, H, W, _ = pix.shape
-            h = H // down
-            if pix.dtype == jnp.uint8:
-                pix = (pix.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
-            moments = vae.encoder_apply_chunked(params["vae"], pix.reshape(T * 3, H, W, 3))
-            moments = moments.reshape(T, 3, h, h, 2 * latent_c)
+            T, three, h, _, _ = moments.shape
             eps_a = jax.random.normal(prng.role_key(key, prng.VAE_A), (h, h, latent_c))
             eps_b = jax.random.normal(prng.role_key(key, prng.VAE_B), (h, h, latent_c))
             if self.vae_mode:
@@ -149,6 +143,27 @@ class DiffSimDiT(ScorerBase):
                 q[:, sa], k[:, sa], v[:, sa], q[:, sc], k[:, sc], v[:, sc], similarity)
             return s_ab, s_ac
 
+        return fn
+
+    @functools.lru_cache(maxsize=16)
+    def _triplet_fn(self, tap: TapSpec, similarity: str):
+        """Triplet-fused variant: image A's latents/noise/forwards are shared between
+        sim(A,B) and sim(A,C) — bit-identical to two pair calls (the reference reseeds its
+        generator per call): VAE-encode fresh pixels, then the shared tail."""
+        vae_cfg = self.vae_cfg
+        latent_c = vae_cfg.latent_channels
+        down = vae_cfg.downscale
+        tail = self._triplet_tail(tap, similarity)
+
+        def fn(params, pix, noise_sab, key):
+            T, three, H, W, _ = pix.shape
+            h = H // down
+            if pix.dtype == jnp.uint8:
+                pix = (pix.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
+            moments = vae.encoder_apply_chunked(params["vae"], pix.reshape(T * 3, H, W, 3))
+            moments = moments.reshape(T, 3, h, h, 2 * latent_c)
+            return tail(params, moments, noise_sab, key)
+
         if self.mesh is not None:
             from diffsim_tpu.parallel import mesh as meshlib
 
@@ -157,6 +172,121 @@ class DiffSimDiT(ScorerBase):
             return meshlib.kernel_jit(fn, self.mesh, in_shardings=(rs, ds, rs, rs),
                                       out_shardings=(ds, ds))
         return jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    # device-resident moment cache (same design as DiffSimSD15 — runtime/device_cache.py)
+    # ------------------------------------------------------------------
+
+    _moment_cache = None
+    moment_cache_mb: float | None = None  # None => $DIFFSIM_TPU_MOMENT_CACHE_MB or 512
+
+    def _ensure_moment_cache(self):
+        if self._moment_cache is not None:
+            return self._moment_cache
+        import os
+
+        from diffsim_tpu.parallel import mesh as meshlib
+        from diffsim_tpu.runtime.device_cache import DeviceFeatureCache
+
+        down = self.vae_cfg.downscale
+        h = w = self.img_size // down
+        c2 = 2 * self.vae_cfg.latent_channels
+        m_dtype = jax.eval_shape(
+            vae.encoder_apply,
+            self.params["vae"],
+            jax.ShapeDtypeStruct((1, self.img_size, self.img_size, 3), self.dtype),
+        ).dtype
+        budget_mb = self.moment_cache_mb or float(
+            os.environ.get("DIFFSIM_TPU_MOMENT_CACHE_MB", "512"))
+        row_bytes = h * w * c2 * jnp.dtype(m_dtype).itemsize
+        cap = int(max(128, min(16384, budget_mb * 1e6 // row_bytes)))
+        rs = meshlib.replicated(self.mesh) if self.mesh is not None else None
+        alloc = jax.jit(lambda: jnp.zeros((cap, h, w, c2), m_dtype),
+                        **({"out_shardings": rs} if rs is not None else {}))
+        pool = alloc()
+
+        def up(params, pool, pix_u8, slots):
+            x = (pix_u8.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
+            m = vae.encoder_apply_chunked(params["vae"], x)
+            return pool.at[slots].set(m.astype(pool.dtype))
+
+        if self.mesh is not None:
+            up_jit = jax.jit(up, donate_argnums=1, in_shardings=(rs, rs, rs, rs),
+                             out_shardings=rs)
+        else:
+            up_jit = jax.jit(up, donate_argnums=1)
+        update = lambda pool, rows, slots: up_jit(self.params, pool, rows, slots)
+        self._moment_cache = DeviceFeatureCache(pool, update, cap)
+        return self._moment_cache
+
+    @functools.lru_cache(maxsize=16)
+    def _cached_triplet_fn(self, tap: TapSpec, similarity: str):
+        """Triplet scoring from cached moments: gather pool[idx] on device, then the shared
+        tail."""
+        tail = self._triplet_tail(tap, similarity)
+
+        def fn(params, pool, idx3, noise_sab, key):
+            return tail(params, pool[idx3], noise_sab, key)
+
+        if self.mesh is not None:
+            from diffsim_tpu.parallel import mesh as meshlib
+
+            ds = meshlib.data_sharding(self.mesh)
+            rs = meshlib.replicated(self.mesh)
+            return meshlib.kernel_jit(fn, self.mesh, in_shardings=(rs, rs, ds, rs, rs),
+                                      out_shardings=(ds, ds))
+        return jax.jit(fn)
+
+    def score_triplet_paths(
+        self,
+        paths_a,
+        paths_b,
+        paths_c,
+        pix_a: np.ndarray | None = None,
+        pix_b: np.ndarray | None = None,
+        pix_c: np.ndarray | None = None,
+        *,
+        loader=None,
+        target_layer=13,
+        target_step: int = 600,
+        similarity: str = "cosine",
+        seed: int = 2333,
+        blocking: bool = True,
+    ):
+        """(s_ab, s_ac) for T triplets given image PATHS through the device-resident moment
+        cache — each unique image uploaded + VAE-encoded ONCE (see DiffSimSD15's docstring;
+        DiT@512 was relay-transport-bound, so hits lift it directly)."""
+        from diffsim_tpu.core.image import load_and_process_u8
+        from diffsim_tpu.runtime.device_cache import ensure_image_slots
+
+        tap = TapSpec("blocks", (self._resolve_layer(target_layer),), "attn1", QKV)
+        spec = schedulers.dit_noise_spec(target_step)
+        T = len(paths_a)
+        assert len(paths_b) == T and len(paths_c) == T
+        cache = self._ensure_moment_cache()
+        idx3 = ensure_image_slots(cache, (paths_a, paths_b, paths_c), (pix_a, pix_b, pix_c),
+                                  loader, lambda k: load_and_process_u8(k, self.img_size))
+        pad = 0
+        if self.mesh is not None:
+            from diffsim_tpu.parallel import mesh as meshlib
+
+            target = meshlib.pad_to_multiple(T, meshlib.data_axis_size(self.mesh))
+            pad = target - T
+            if pad:
+                idx3 = np.concatenate([idx3, np.repeat(idx3[-1:], pad, 0)], axis=0)
+        fn = self._cached_triplet_fn(tap, similarity)
+        s_ab, s_ac = fn(
+            self.params, cache.pool, idx3,
+            (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
+            jax.random.PRNGKey(int(seed)),
+        )
+
+        def fetch():
+            a_ = np.asarray(jax.device_get(s_ab), np.float32)
+            c_ = np.asarray(jax.device_get(s_ac), np.float32)
+            return (a_[:T], c_[:T]) if pad else (a_, c_)
+
+        return fetch() if blocking else fetch
 
     @staticmethod
     def _resolve_layer(target_layer):

@@ -559,45 +559,14 @@ class DiffSimSD15(ScorerBase):
         ``pix_a/b/c``: optionally the already-decoded (T,H,W,3) uint8 arrays (the runner's
         prefetch pipeline has them in hand) — rows of first occurrence feed cache misses.
         Otherwise misses are decoded from disk via ``loader`` (or process_image_u8)."""
-        import os as _os
+        from diffsim_tpu.runtime.device_cache import ensure_image_slots
 
         tap = sd15_tap(target_block, target_layer, False, fix_layer_collapse, text_attn)
         T = len(paths_a)
         assert len(paths_b) == T and len(paths_c) == T
-        keys = [_os.fspath(p) for role in (paths_a, paths_b, paths_c) for p in role]
-
-        rowsrc: dict = {}
-        for role_paths, role_pix in ((paths_a, pix_a), (paths_b, pix_b), (paths_c, pix_c)):
-            if role_pix is None:
-                continue
-            assert role_pix.dtype == np.uint8, (
-                "the moment cache expects uint8 pixel transport (process_image_u8)"
-            )
-            for i, p in enumerate(role_paths):
-                rowsrc.setdefault(_os.fspath(p), (role_pix, i))
-
-        def rows_for(missing):
-            rows = []
-            for k in missing:
-                hit = rowsrc.get(k)
-                if hit is not None:
-                    rows.append(hit[0][hit[1]])
-                elif loader is not None:
-                    rows.append(loader.submit(k))
-                else:
-                    rows.append(load_and_process_u8(k, self.img_size)[0])
-            # resolve loader futures (threaded decode) after all are submitted
-            rows = [r.result()[0] if hasattr(r, "result") else r for r in rows]
-            out = np.stack(rows)
-            assert out.dtype == np.uint8, (
-                f"moment-cache rows must be uint8 pixel transport (got {out.dtype}) — "
-                "pass a loader built with the u8 preprocess (process_image_u8)"
-            )
-            return out
-
         cache = self._ensure_moment_cache()
-        slots = cache.ensure(keys, rows_for)
-        idx3 = slots.reshape(3, T).T  # (T,3) [a,b,c]
+        idx3 = ensure_image_slots(cache, (paths_a, paths_b, paths_c), (pix_a, pix_b, pix_c),
+                                  loader, lambda k: load_and_process_u8(k, self.img_size))
 
         prompts = [prompt] * T if isinstance(prompt, str) else list(prompt)
         pad = 0

@@ -256,24 +256,17 @@ class DiffSimXL(ScorerBase):
         return ipm.ResamplerConfig.sdxl_plus()
 
     @functools.lru_cache(maxsize=16)
-    def _triplet_fn(self, tap: TapSpec, similarity: str):
-        """Triplet-fused variant sharing image A's work — bit-identical to two pair calls
-        (the reference reseeds its generator per call)."""
+    def _triplet_tail(self, tap: TapSpec, similarity: str):
+        """moments (T,3,h,h,2C) pair-major + per-T embeds/pooled -> (s_ab, s_ac): everything
+        downstream of the VAE encode, shared verbatim by the pixel path (_triplet_fn) and
+        the cached-moment path (_cached_triplet_fn) so cache hits score bit-identically."""
         unet_cfg, vae_cfg = self.unet_cfg, self.vae_cfg
         cfg_parity = self.cfg_parity
         latent_c = vae_cfg.latent_channels
-        down = vae_cfg.downscale
 
-        def fn(params, pix, embeds, pooled, noise_sab, key):
+        def fn(params, moments, embeds, pooled, noise_sab, key):
             model_t, a, b = noise_sab
-            T, three, H, W, _ = pix.shape
-            h = H // down
-            if pix.dtype == jnp.uint8:
-                pix = pix.astype(jnp.float32) / 127.5 - 1.0
-            moments = vae.encoder_apply_chunked(
-                params["vae"], pix.astype(self._enc_dtype).reshape(T * 3, H, W, 3)
-            )
-            moments = moments.reshape(T, 3, h, h, 2 * latent_c)
+            T, three, h, _, _ = moments.shape
             eps_a = jax.random.normal(prng.role_key(key, prng.VAE_A), (h, h, latent_c))
             eps_b = jax.random.normal(prng.role_key(key, prng.VAE_B), (h, h, latent_c))
             if self.vae_mode:
@@ -315,6 +308,29 @@ class DiffSimXL(ScorerBase):
                 q[:, sa], k[:, sa], v[:, sa], q[:, sc], k[:, sc], v[:, sc], similarity)
             return s_ab, s_ac
 
+        return fn
+
+    @functools.lru_cache(maxsize=16)
+    def _triplet_fn(self, tap: TapSpec, similarity: str):
+        """Triplet-fused variant sharing image A's work — bit-identical to two pair calls
+        (the reference reseeds its generator per call): VAE-encode fresh pixels, then the
+        shared tail."""
+        vae_cfg = self.vae_cfg
+        latent_c = vae_cfg.latent_channels
+        down = vae_cfg.downscale
+        tail = self._triplet_tail(tap, similarity)
+
+        def fn(params, pix, embeds, pooled, noise_sab, key):
+            T, three, H, W, _ = pix.shape
+            h = H // down
+            if pix.dtype == jnp.uint8:
+                pix = pix.astype(jnp.float32) / 127.5 - 1.0
+            moments = vae.encoder_apply_chunked(
+                params["vae"], pix.astype(self._enc_dtype).reshape(T * 3, H, W, 3)
+            )
+            moments = moments.reshape(T, 3, h, h, 2 * latent_c)
+            return tail(params, moments, embeds, pooled, noise_sab, key)
+
         if self.mesh is not None:
             from diffsim_tpu.parallel import mesh as meshlib
 
@@ -323,6 +339,146 @@ class DiffSimXL(ScorerBase):
             return meshlib.kernel_jit(fn, self.mesh, in_shardings=(rs, ds, ds, ds, rs, rs),
                                       out_shardings=(ds, ds))
         return jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    # device-resident moment cache: skip upload AND VAE encode for repeated images
+    # (same design as DiffSimSD15 — runtime/device_cache.py; the fp32 XL encode is 55%
+    # of per-pair compute at 1024px, so hits are an even bigger win here)
+    # ------------------------------------------------------------------
+
+    _moment_cache = None
+    moment_cache_mb: float | None = None  # None => $DIFFSIM_TPU_MOMENT_CACHE_MB or 512
+
+    def _ensure_moment_cache(self):
+        if self._moment_cache is not None:
+            return self._moment_cache
+        import os
+
+        from diffsim_tpu.parallel import mesh as meshlib
+        from diffsim_tpu.runtime.device_cache import DeviceFeatureCache
+
+        down = self.vae_cfg.downscale
+        h = w = self.img_size // down
+        c2 = 2 * self.vae_cfg.latent_channels
+        m_dtype = jax.eval_shape(
+            vae.encoder_apply,
+            self.params["vae"],
+            jax.ShapeDtypeStruct((1, self.img_size, self.img_size, 3), self._enc_dtype),
+        ).dtype
+        budget_mb = self.moment_cache_mb or float(
+            os.environ.get("DIFFSIM_TPU_MOMENT_CACHE_MB", "512"))
+        row_bytes = h * w * c2 * jnp.dtype(m_dtype).itemsize
+        cap = int(max(128, min(16384, budget_mb * 1e6 // row_bytes)))
+        rs = meshlib.replicated(self.mesh) if self.mesh is not None else None
+        alloc = jax.jit(lambda: jnp.zeros((cap, h, w, c2), m_dtype),
+                        **({"out_shardings": rs} if rs is not None else {}))
+        pool = alloc()
+
+        def up(params, pool, pix_u8, slots):
+            x = (pix_u8.astype(jnp.float32) / 127.5 - 1.0).astype(self._enc_dtype)
+            m = vae.encoder_apply_chunked(params["vae"], x)
+            return pool.at[slots].set(m.astype(pool.dtype))
+
+        if self.mesh is not None:
+            up_jit = jax.jit(up, donate_argnums=1, in_shardings=(rs, rs, rs, rs),
+                             out_shardings=rs)
+        else:
+            up_jit = jax.jit(up, donate_argnums=1)
+        update = lambda pool, rows, slots: up_jit(self.params, pool, rows, slots)
+        self._moment_cache = DeviceFeatureCache(pool, update, cap)
+        return self._moment_cache
+
+    @functools.lru_cache(maxsize=16)
+    def _cached_triplet_fn(self, tap: TapSpec, similarity: str):
+        """Triplet scoring from cached moments: gather pool[idx] on device, index the
+        unique-prompt tables by pidx, then the shared tail."""
+        tail = self._triplet_tail(tap, similarity)
+
+        def fn(params, pool, idx3, embeds_u, pooled_u, pidx, noise_sab, key):
+            # idx3 (T,3) slot indices; embeds_u (U,2,77,hid); pooled_u (U,2,proj); pidx (T,)
+            return tail(params, pool[idx3], embeds_u[pidx], pooled_u[pidx], noise_sab, key)
+
+        if self.mesh is not None:
+            from diffsim_tpu.parallel import mesh as meshlib
+
+            ds = meshlib.data_sharding(self.mesh)
+            rs = meshlib.replicated(self.mesh)
+            return meshlib.kernel_jit(fn, self.mesh,
+                                      in_shardings=(rs, rs, ds, rs, rs, ds, rs, rs),
+                                      out_shardings=(ds, ds))
+        return jax.jit(fn)
+
+    def _embeds_and_idx(self, prompts):
+        """Unique-prompt tables ((U,2,77,hid), (U,2,proj)) + per-item int32 index —
+        benchmarks reuse a handful of prompts across thousands of comparisons, so the
+        per-batch embed upload shrinks from (T,...) to (U,...) + T ints."""
+        uniq, index, idx = [], {}, []
+        for p in prompts:
+            if p not in index:
+                index[p] = len(uniq)
+                uniq.append(self.encode_prompt(p))
+            idx.append(index[p])
+        embeds_u = np.stack([e for e, _ in uniq])
+        pooled_u = np.stack([q for _, q in uniq])
+        return embeds_u, pooled_u, np.asarray(idx, np.int32)
+
+    def score_triplet_paths(
+        self,
+        paths_a,
+        paths_b,
+        paths_c,
+        pix_a: np.ndarray | None = None,
+        pix_b: np.ndarray | None = None,
+        pix_c: np.ndarray | None = None,
+        *,
+        loader=None,
+        prompt="",
+        target_block: str = "up_blocks",
+        target_layer=(0, 0, 0),
+        target_step: int = 900,
+        similarity: str = "cosine",
+        seed: int = 2333,
+        blocking: bool = True,
+    ):
+        """(s_ab, s_ac) for T triplets given image PATHS through the device-resident moment
+        cache — each unique image uploaded + fp32-VAE-encoded ONCE (see DiffSimSD15's
+        docstring; the XL encode is the dominant per-pair stage at 1024px, so hits skip
+        even more work here)."""
+        from diffsim_tpu.core.image import load_and_process_u8
+        from diffsim_tpu.runtime.device_cache import ensure_image_slots
+
+        tap = sdxl_tap(target_block, target_layer, False)
+        spec = schedulers.sdxl_noise_spec(target_step)
+        T = len(paths_a)
+        assert len(paths_b) == T and len(paths_c) == T
+        cache = self._ensure_moment_cache()
+        idx3 = ensure_image_slots(cache, (paths_a, paths_b, paths_c), (pix_a, pix_b, pix_c),
+                                  loader, lambda k: load_and_process_u8(k, self.img_size))
+
+        prompts = [prompt] * T if isinstance(prompt, str) else list(prompt)
+        pad = 0
+        if self.mesh is not None:
+            from diffsim_tpu.parallel import mesh as meshlib
+
+            target = meshlib.pad_to_multiple(T, meshlib.data_axis_size(self.mesh))
+            pad = target - T
+            if pad:
+                idx3 = np.concatenate([idx3, np.repeat(idx3[-1:], pad, 0)], axis=0)
+                prompts = prompts + [prompts[-1]] * pad
+        embeds_u, pooled_u, pidx = self._embeds_and_idx(prompts)
+        fn = self._cached_triplet_fn(tap, similarity)
+        s_ab, s_ac = fn(
+            self.params, cache.pool, idx3, embeds_u, pooled_u, pidx,
+            (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
+            jax.random.PRNGKey(int(seed)),
+        )
+
+        def fetch():
+            a_ = np.asarray(jax.device_get(s_ab), np.float32)
+            c_ = np.asarray(jax.device_get(s_ac), np.float32)
+            return (a_[:T], c_[:T]) if pad else (a_, c_)
+
+        return fetch() if blocking else fetch
 
     def score_batch(
         self,

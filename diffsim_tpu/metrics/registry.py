@@ -42,6 +42,18 @@ class MetricAdapter:
     score_triplets: Callable | None = None
     wants_masks: bool = False  # --use_mask supported: score_pairs accepts mask_a=/mask_b=
     score_triplet_paths: Callable | None = None
+    # prewarm(paths_roles, loader): threaded decode of the NEXT chunk's device-cache
+    # misses while the current chunk scores (runner cached-path mode)
+    prewarm: Callable | None = None
+
+
+def _make_prewarm(scorer):
+    def prewarm(paths_roles, loader):
+        from diffsim_tpu.runtime.device_cache import prewarm_missing
+
+        prewarm_missing(scorer._ensure_moment_cache(), paths_roles, loader)
+
+    return prewarm
 
 
 def _attach_ip(scorer, args, tiny: bool):
@@ -126,6 +138,7 @@ def build_metric(args, mesh=None) -> MetricAdapter:
 
             score_triplets = None
             score_triplet_paths = None
+            prewarm = None
             if not args.ip_adapter:
                 def score_triplets(pa, pb, pc, prompts, blocking=True):
                     return scorer.score_triplet_batch(
@@ -146,6 +159,8 @@ def build_metric(args, mesh=None) -> MetricAdapter:
                             similarity=similarity, seed=args.seed, blocking=blocking,
                             text_attn=text_attn,
                         )
+
+                    prewarm = _make_prewarm(scorer)
         else:
             def score_pairs(pa, pb, prompts, blocking=True):
                 return scorer.score_feats_batch(
@@ -157,7 +172,8 @@ def build_metric(args, mesh=None) -> MetricAdapter:
         if name == "diffsim":
             return MetricAdapter(score_pairs, lower, preprocess=u8, score_triplets=score_triplets,
                                  wants_masks=bool(getattr(args, "use_mask", False)),
-                                 score_triplet_paths=score_triplet_paths)
+                                 score_triplet_paths=score_triplet_paths,
+                                 prewarm=prewarm)
         return MetricAdapter(score_pairs, lower, preprocess=u8)
 
     if name == "dit":
@@ -193,10 +209,26 @@ def build_metric(args, mesh=None) -> MetricAdapter:
                 similarity=similarity, seed=args.seed, blocking=blocking,
             )
 
+        score_triplet_paths = None
+        prewarm = None
+        if getattr(args, "device_cache", True):
+            if getattr(args, "moment_cache_mb", None):
+                scorer.moment_cache_mb = args.moment_cache_mb
+            prewarm = _make_prewarm(scorer)
+
+            def score_triplet_paths(paths_a, paths_b, paths_c, pix_a=None, pix_b=None,
+                                    pix_c=None, prompts="", blocking=True, loader=None):
+                return scorer.score_triplet_paths(
+                    paths_a, paths_b, paths_c, pix_a, pix_b, pix_c, loader=loader,
+                    target_layer=args.target_layer, target_step=args.target_step,
+                    similarity=similarity, seed=args.seed, blocking=blocking,
+                )
+
         from diffsim_tpu.core.image import process_image_u8 as _p8
 
         return MetricAdapter(score_pairs, lower, preprocess=lambda img: _p8(img, args.image_size),
-                             score_triplets=score_triplets)
+                             score_triplets=score_triplets,
+                             score_triplet_paths=score_triplet_paths, prewarm=prewarm)
 
     if name == "diffsim_xl":
         from diffsim_tpu.metrics.diffsim_xl import DiffSimXL
@@ -244,6 +276,8 @@ def build_metric(args, mesh=None) -> MetricAdapter:
             )
 
         score_triplets = None
+        score_triplet_paths = None
+        prewarm = None
         if not args.ip_adapter:
             def score_triplets(pa, pb, pc, prompts, blocking=True):
                 return scorer.score_triplet_batch(
@@ -252,10 +286,25 @@ def build_metric(args, mesh=None) -> MetricAdapter:
                     similarity=similarity, seed=args.seed, blocking=blocking,
                 )
 
+            if getattr(args, "device_cache", True):
+                if getattr(args, "moment_cache_mb", None):
+                    scorer.moment_cache_mb = args.moment_cache_mb
+                prewarm = _make_prewarm(scorer)
+
+                def score_triplet_paths(paths_a, paths_b, paths_c, pix_a=None, pix_b=None,
+                                        pix_c=None, prompts="", blocking=True, loader=None):
+                    return scorer.score_triplet_paths(
+                        paths_a, paths_b, paths_c, pix_a, pix_b, pix_c, loader=loader,
+                        prompt=prompts, target_block=args.target_block,
+                        target_layer=args.target_layer, target_step=args.target_step,
+                        similarity=similarity, seed=args.seed, blocking=blocking,
+                    )
+
         from diffsim_tpu.core.image import process_image_u8 as _p8
 
         return MetricAdapter(score_pairs, lower, preprocess=lambda img: _p8(img, args.image_size),
-                             score_triplets=score_triplets)
+                             score_triplets=score_triplets,
+                             score_triplet_paths=score_triplet_paths, prewarm=prewarm)
 
     if name in ("clip_i", "clip_cross", "clipfeats"):
         from diffsim_tpu.metrics.clip_i import CLIPScore

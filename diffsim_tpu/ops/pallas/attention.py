@@ -154,14 +154,18 @@ def _fused_bwd(block_q, bf16_probs, res, g):
 _fused_core.defvjp(_fused_fwd, _fused_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "bf16_probs"))
 def fused_self_attention(q: jax.Array, k: jax.Array, v: jax.Array, block_q: int | None = None,
                          bf16_probs: bool = False):
     """(B, H, S, D) self-attention, softmax scale 1/sqrt(D). S must be a multiple of the
     q block (the UNet's token counts are powers of two). Differentiable: the backward is a
     custom VJP in XLA math (_fused_bwd; always f32 softmax — bf16_probs is a forward-only
     fast mode for scoring graphs), so training graphs (DiT) can route through the fused
-    forward."""
+    forward.
+
+    Deliberately NOT jit-decorated: the SPMD dispatch (_forward_impl) and the interpret
+    flag are read from trace-time context, and an inner jit's trace cache keys ONLY on
+    avals/statics — a trace captured without the kernel mesh would be silently reused
+    inside a sharded graph (and vice versa). Callers are jitted graphs anyway."""
     s, d = q.shape[-2], q.shape[-1]
     bq = block_q or _block_q(s, d)
     return _fused_core(q, k, v, bq, bf16_probs)

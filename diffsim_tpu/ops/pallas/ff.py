@@ -135,10 +135,10 @@ def _fused_bwd(block_rows, res, g_out):
 _fused_core.defvjp(_fused_fwd, _fused_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
 def fused_geglu_ff(x, w1, b1, w2, b2, block_rows: int = 512):
     """x (N, C); w1 (C, 8C); w2 (4C, C). N must be a multiple of block_rows.
-    Differentiable: the backward is a custom VJP in XLA math (_fused_bwd)."""
+    Differentiable: the backward is a custom VJP in XLA math (_fused_bwd).
+    NOT jit-decorated — see fused_self_attention (trace-time context vs inner-jit cache)."""
     return _fused_core(x, w1, b1, w2, b2, block_rows)
 
 

@@ -88,12 +88,12 @@ def _pallas_partials(q, k_cross, v_cross, k_self, v_self, mse: bool, block_q: in
     )(q, k_cross, v_cross, k_self, v_self)
 
 
-@functools.partial(jax.jit, static_argnames=("mse", "block_q"))
 def cross_self_partials(q, k_cross, v_cross, k_self, v_self, mse: bool = False, block_q: int = 512):
     """All inputs (N, S, D) with N = P*B*heads flattened. Returns three (N,) f32
     partial-sum arrays (dot/mse, |cross|^2, |self|^2). Inside a declared kernel mesh the
     pallas call is shard_mapped over N (rows are independent pairs*batch*heads — see
-    ops/pallas/spmd.py)."""
+    ops/pallas/spmd.py). NOT jit-decorated — see fused_self_attention (trace-time context
+    vs inner-jit cache)."""
     from diffsim_tpu.ops.pallas import spmd
 
     call = functools.partial(_pallas_partials, mse=mse, block_q=block_q)

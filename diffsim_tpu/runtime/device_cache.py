@@ -105,7 +105,74 @@ class DeviceFeatureCache:
             self.pool = self._update(self.pool, sl_rows, sl_slots)
             start += k
 
+    def __contains__(self, key: Hashable) -> bool:
+        return key in self._slot_of
+
     @property
     def stats(self) -> dict:
         return {"hits": self.hits, "misses": self.misses, "evictions": self.evictions,
                 "resident": len(self._slot_of), "capacity": self.capacity}
+
+
+def prewarm_missing(cache: DeviceFeatureCache, paths_roles, loader) -> int:
+    """Kick off threaded decodes for paths not yet device-resident (dropping the futures —
+    the loader's path-keyed LRU retains the arrays, so the later ensure() miss fill returns
+    instantly). Called by the 2AFC runner for the NEXT chunk while the current one scores:
+    first-touch decode overlaps device compute instead of serializing before dispatch."""
+    import os as _os
+
+    seen = set()
+    n = 0
+    for role in paths_roles:
+        for p in role:
+            k = _os.fspath(p)
+            if k in seen or k in cache:
+                continue
+            seen.add(k)
+            loader.submit(k)
+            n += 1
+    return n
+
+
+def ensure_image_slots(cache: DeviceFeatureCache, paths_roles, pix_roles, loader,
+                       load_fn) -> np.ndarray:
+    """Shared host half of every scorer's ``score_triplet_paths``: resolve the three role
+    path lists to device-cache slots, feeding misses from (in priority order) the
+    caller-supplied decoded uint8 role arrays, the threaded ``loader``, or ``load_fn(path)
+    -> (1, H, W, 3) uint8``. Returns (T, 3) int32 slot indices [a, b, c] per triplet."""
+    import os as _os
+
+    t = len(paths_roles[0])
+    keys = [_os.fspath(p) for role in paths_roles for p in role]
+
+    rowsrc: dict = {}
+    for role_paths, role_pix in zip(paths_roles, pix_roles):
+        if role_pix is None:
+            continue
+        assert role_pix.dtype == np.uint8, (
+            "the moment cache expects uint8 pixel transport (process_image_u8)"
+        )
+        for i, p in enumerate(role_paths):
+            rowsrc.setdefault(_os.fspath(p), (role_pix, i))
+
+    def rows_for(missing):
+        rows = []
+        for k in missing:
+            hit = rowsrc.get(k)
+            if hit is not None:
+                rows.append(hit[0][hit[1]])
+            elif loader is not None:
+                rows.append(loader.submit(k))
+            else:
+                rows.append(load_fn(k)[0])
+        # resolve loader futures (threaded decode) after all are submitted
+        rows = [r.result()[0] if hasattr(r, "result") else r for r in rows]
+        out = np.stack(rows)
+        assert out.dtype == np.uint8, (
+            f"moment-cache rows must be uint8 pixel transport (got {out.dtype}) — "
+            "pass a loader built with the u8 preprocess (process_image_u8)"
+        )
+        return out
+
+    slots = cache.ensure(keys, rows_for)
+    return slots.reshape(3, t).T

@@ -66,6 +66,7 @@ def run_2afc(
     *,
     score_triplets: Callable | None = None,
     score_triplet_paths: Callable | None = None,
+    prewarm: Callable | None = None,
     rule: str = STANDARD,
     lower_better: bool = False,
     img_size: int = 512,
@@ -88,10 +89,11 @@ def run_2afc(
     fusion is bypassed (it has no mask plumbing).
 
     ``score_triplet_paths`` (see MetricAdapter) takes priority over ``score_triplets`` when
-    every image of the batch is an on-disk path: images are keyed by path in a device-resident
-    feature cache, so a repeated image costs no relay upload and no encode. The prefetch decode
-    still runs (its uint8 rows feed cache misses without a second decode; the ImageLoader's
-    own LRU makes repeat decodes cheap).
+    every input is an on-disk path: images are keyed by path in a device-resident feature
+    cache, so a repeated image costs no relay upload, no decode and no encode. In this mode
+    the runner does NOT prefetch-decode the batch — the adapter decodes only cache MISSES
+    via the loader (one decode per unique image), and ``prewarm`` (if given) decodes the
+    NEXT chunk's misses on loader threads while the current chunk scores.
     """
     import os as _os
     log = ResultLog(out_path)
@@ -184,6 +186,11 @@ def run_2afc(
                 roles = [[getattr(comparisons[i], r) for i in chunk] for r in "abc"]
                 result = score_triplet_paths(*roles, None, None, None, prompts,
                                              blocking=False, loader=loader)
+                if prewarm is not None and inflight:
+                    # decode the NEXT chunk's cache misses while this one scores
+                    nxt = inflight[0][0]
+                    prewarm([[getattr(comparisons[i], r) for i in nxt] for r in "abc"],
+                            loader)
             elif mask_fn is not None:
                 pix_a = np.concatenate([e[0] for e in arrs] * 2, axis=0)
                 pix_bc = np.concatenate([e[1] for e in arrs] + [e[2] for e in arrs], axis=0)

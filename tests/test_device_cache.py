@@ -250,3 +250,100 @@ def test_cli_cute_device_cache_matches_uncached(tmp_path):
     assert len(cached) == len(plain) == 40
     np.testing.assert_allclose(np.asarray(cached), np.asarray(plain), atol=2e-6)
     assert rep_c.correct == rep_u.correct and rep_c.total == rep_u.total
+
+
+# ---------------------------------------------------------------------------
+# XL and DiT scorers share the cache design: cached path == fresh-encode path
+# ---------------------------------------------------------------------------
+
+
+def _xl_scorer(mesh=None):
+    from diffsim_tpu.metrics.diffsim_xl import DiffSimXL
+
+    return DiffSimXL(
+        unet_cfg=unet.UNetConfig.tiny_xl(cross_attention_dim=64),
+        vae_cfg=vae.VAEConfig.tiny(),
+        text_cfg=clip_text.CLIPTextConfig.tiny(),
+        text2_cfg=clip_text.CLIPTextConfig(
+            vocab_size=1000, hidden=32, layers=2, heads=2, intermediate=64,
+            projection_dim=16,
+        ),
+        img_size=32,
+        dtype=np.float32,
+        mesh=mesh,
+    )
+
+
+def test_xl_score_triplet_paths_matches_fresh_encode(tmp_path):
+    from diffsim_tpu.core.image import load_and_process_u8
+
+    scorer = _xl_scorer()
+    paths = _image_files(tmp_path, 4)
+    pa = [paths[0]] * 2
+    pb = [paths[1], paths[2]]
+    pc = [paths[3], paths[1]]
+    kw = dict(prompt="p", target_step=900)
+    s_ab, s_ac = scorer.score_triplet_paths(pa, pb, pc, **kw)
+    assert scorer._moment_cache.misses == 4  # unique images only
+    pix = [np.concatenate([load_and_process_u8(p, 32) for p in role]) for role in (pa, pb, pc)]
+    f_ab, f_ac = scorer.score_triplet_batch(*pix, **kw)
+    np.testing.assert_allclose(s_ab, f_ab, atol=2e-6)
+    np.testing.assert_allclose(s_ac, f_ac, atol=2e-6)
+    # all-hit rescore is bit-identical
+    s2 = scorer.score_triplet_paths(pa, pb, pc, **kw)
+    np.testing.assert_array_equal(s_ab, s2[0])
+
+
+def test_dit_score_triplet_paths_matches_fresh_encode(tmp_path):
+    from diffsim_tpu.core.image import load_and_process_u8
+    from diffsim_tpu.metrics.diffsim_dit import DiffSimDiT
+    from diffsim_tpu.models import dit as dit_mod
+
+    scorer = DiffSimDiT(
+        dit_cfg=dit_mod.DiTConfig.tiny(input_size=16, num_classes=1000),
+        vae_cfg=vae.VAEConfig.tiny(),
+        img_size=32,
+        dtype=np.float32,
+    )
+    paths = _image_files(tmp_path, 4)
+    pa = [paths[0]] * 2
+    pb = [paths[1], paths[2]]
+    pc = [paths[3], paths[2]]
+    kw = dict(target_layer=0, target_step=600)
+    s_ab, s_ac = scorer.score_triplet_paths(pa, pb, pc, **kw)
+    assert scorer._moment_cache.misses == 4
+    pix = [np.concatenate([load_and_process_u8(p, 32) for p in role]) for role in (pa, pb, pc)]
+    f_ab, f_ac = scorer.score_triplet_batch(*pix, **kw)
+    np.testing.assert_allclose(s_ab, f_ab, atol=2e-6)
+    np.testing.assert_allclose(s_ac, f_ac, atol=2e-6)
+
+
+def test_xl_cached_path_on_mesh_matches_single_device(tmp_path):
+    paths = _image_files(tmp_path, 6)
+    pa, pb, pc = paths[0:2], paths[2:4], paths[4:6]
+    kw = dict(prompt="p", target_step=900)
+    ref = _xl_scorer().score_triplet_paths(pa, pb, pc, **kw)
+    got = _xl_scorer(mesh=meshlib.make_mesh(8)).score_triplet_paths(pa, pb, pc, **kw)
+    np.testing.assert_allclose(got[0], ref[0], atol=1e-5)
+    np.testing.assert_allclose(got[1], ref[1], atol=1e-5)
+
+
+def test_prewarm_missing_submits_only_nonresident_unique():
+    """Runner prewarm: the NEXT chunk's not-yet-cached unique paths get threaded decodes
+    (futures dropped — the ImageLoader LRU retains the arrays); resident and duplicate
+    paths are skipped."""
+    from diffsim_tpu.runtime.device_cache import prewarm_missing
+
+    cache, _ = _np_cache(8)
+    cache.ensure(["a", "b"], _rows_for)
+
+    class Loader:
+        def __init__(self):
+            self.submitted = []
+
+        def submit(self, path):
+            self.submitted.append(path)
+
+    ld = Loader()
+    n = prewarm_missing(cache, (["a", "c"], ["c", "d"], ["b", "d"]), ld)
+    assert n == 2 and sorted(ld.submitted) == ["c", "d"]
