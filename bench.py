@@ -47,29 +47,33 @@ class ReuseWorkload:
     """Streams CUTE-shaped triplet batches: each slot is a brand-new unique image with
     probability 1/REUSE, otherwise a uniform redraw from the already-seen pool. Pixel
     content cycles a small ring of distinct uint8 images (throughput is value-independent);
-    keys are unique paths, so the device cache sees the true miss/hit stream."""
+    keys are unique paths, so the device cache sees the true miss/hit stream. ``batch``
+    returns (role path lists, row_map of NEW keys only) — like the production runner, no
+    pixels are staged for cache hits."""
 
-    def __init__(self, rng, ring=32):
+    def __init__(self, rng, img=IMG, ring=32, reuse=REUSE):
         self.rng = rng
-        self.ring = [rng.integers(0, 256, (IMG, IMG, 3), dtype=np.uint8)
+        self.reuse = reuse
+        self.ring = [rng.integers(0, 256, (img, img, 3), dtype=np.uint8)
                      for _ in range(ring)]
         self.pool: list[str] = []
-        self.pix_of: dict[str, np.ndarray] = {}
         self.n = 0
+        self._new_keys: list[str] = []
 
     def _slot(self) -> str:
-        if not self.pool or self.rng.random() < 1.0 / REUSE:
+        if not self.pool or self.rng.random() < 1.0 / self.reuse:
             key = f"/bench/u{self.n}.png"
-            self.pix_of[key] = self.ring[self.n % len(self.ring)]
             self.pool.append(key)
+            self._new_keys.append(key)
             self.n += 1
             return key
         return self.pool[self.rng.integers(len(self.pool))]
 
     def batch(self, triplets: int):
+        self._new_keys = []
         paths = [[self._slot() for _ in range(triplets)] for _ in range(3)]
-        pix = [np.stack([self.pix_of[p] for p in role]) for role in paths]
-        return paths, pix
+        row_map = {k: self.ring[int(k[8:-4]) % len(self.ring)] for k in self._new_keys}
+        return paths, row_map
 
 
 def main():
@@ -120,16 +124,17 @@ def main():
     work = ReuseWorkload(rng)
     # warm: compile both miss (scatter+encode) and hit programs, fill the initial pool
     for _ in range(WARMUP):
-        paths, pix = work.batch(batch)
-        scorer.score_triplet_paths(*paths, *pix, **kwargs)
+        paths, row_map = work.batch(batch)
+        scorer.score_triplet_paths(*paths, row_map=row_map, **kwargs)
 
     def cached_window():
         t0 = time.perf_counter()
         fetches = []
         for _ in range(ITERS):
-            paths, pix = work.batch(batch)
+            paths, row_map = work.batch(batch)
             fetches.append(
-                scorer.score_triplet_paths(*paths, *pix, blocking=False, **kwargs))
+                scorer.score_triplet_paths(*paths, row_map=row_map, blocking=False,
+                                           **kwargs))
         for f in fetches:
             f()
         return time.perf_counter() - t0

@@ -33,49 +33,25 @@ DIT_BASELINE = SD15_BASELINE_PAIRS_PER_SEC / DIT_OVER_SD15_FLOPS  # 1.942 pairs/
 REUSE = 10  # CUTE references each unique image ~10x (see bench.py)
 
 
-class ReuseWorkload:
-    """CUTE-shaped triplet batches of PATH keys (see bench.py): new unique image with
-    p = 1/REUSE per slot, else a redraw from the seen pool."""
-
-    def __init__(self, rng, img: int, ring: int = 12):
-        self.rng = rng
-        self.ring = [rng.integers(0, 256, (img, img, 3), dtype=np.uint8)
-                     for _ in range(ring)]
-        self.pool: list[str] = []
-        self.pix_of: dict[str, np.ndarray] = {}
-        self.n = 0
-
-    def _slot(self) -> str:
-        if not self.pool or self.rng.random() < 1.0 / REUSE:
-            key = f"/bench/u{self.n}.png"
-            self.pix_of[key] = self.ring[self.n % len(self.ring)]
-            self.pool.append(key)
-            self.n += 1
-            return key
-        return self.pool[self.rng.integers(len(self.pool))]
-
-    def batch(self, triplets: int):
-        paths = [[self._slot() for _ in range(triplets)] for _ in range(3)]
-        pix = [np.stack([self.pix_of[p] for p in role]) for role in paths]
-        return paths, pix
-
-
 def _bench(scorer, img: int, windows: int, iters: int, T: int, baseline: float,
            metric: str, **kwargs) -> dict:
     """Timing protocol (CLAUDE.md relay semantics): async-queue, fetch all; best + median
     over windows. Primary = cached path under reuse; `fresh` = zero-reuse floor."""
+    from bench import ReuseWorkload  # the flagship bench's workload — one definition
+
     rng = np.random.default_rng(0)
-    work = ReuseWorkload(rng, img)
+    work = ReuseWorkload(rng, img=img, ring=12, reuse=REUSE)
     for _ in range(2):
-        paths, pix = work.batch(T)
-        scorer.score_triplet_paths(*paths, *pix, **kwargs)
+        paths, row_map = work.batch(T)
+        scorer.score_triplet_paths(*paths, row_map=row_map, **kwargs)
 
     def cached_window():
         t0 = time.perf_counter()
         fetches = []
         for _ in range(iters):
-            paths, pix = work.batch(T)
-            fetches.append(scorer.score_triplet_paths(*paths, *pix, blocking=False, **kwargs))
+            paths, row_map = work.batch(T)
+            fetches.append(scorer.score_triplet_paths(*paths, row_map=row_map,
+                                                      blocking=False, **kwargs))
         for f in fetches:
             f()
         return time.perf_counter() - t0

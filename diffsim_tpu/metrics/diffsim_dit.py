@@ -181,8 +181,11 @@ class DiffSimDiT(ScorerBase):
     moment_cache_mb: float | None = None  # None => $DIFFSIM_TPU_MOMENT_CACHE_MB or 512
 
     def _ensure_moment_cache(self):
-        if self._moment_cache is not None:
-            return self._moment_cache
+        if self._moment_cache is None:
+            from diffsim_tpu.runtime.device_cache import make_moment_cache
+
+            self._moment_cache = make_moment_cache(self, self.dtype)
+        return self._moment_cache
         import os
 
         from diffsim_tpu.parallel import mesh as meshlib
@@ -247,6 +250,7 @@ class DiffSimDiT(ScorerBase):
         pix_c: np.ndarray | None = None,
         *,
         loader=None,
+        row_map: dict | None = None,
         target_layer=13,
         target_step: int = 600,
         similarity: str = "cosine",
@@ -265,7 +269,8 @@ class DiffSimDiT(ScorerBase):
         assert len(paths_b) == T and len(paths_c) == T
         cache = self._ensure_moment_cache()
         idx3 = ensure_image_slots(cache, (paths_a, paths_b, paths_c), (pix_a, pix_b, pix_c),
-                                  loader, lambda k: load_and_process_u8(k, self.img_size))
+                                  loader, lambda k: load_and_process_u8(k, self.img_size),
+                                  row_map=row_map)
         pad = 0
         if self.mesh is not None:
             from diffsim_tpu.parallel import mesh as meshlib

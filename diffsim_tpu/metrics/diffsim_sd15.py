@@ -447,11 +447,13 @@ class DiffSimSD15(ScorerBase):
     moment_cache_mb: float | None = None  # None => $DIFFSIM_TPU_MOMENT_CACHE_MB or 512
 
     def _ensure_moment_cache(self):
-        """Lazily build the path-keyed VAE-moment pool (runtime.device_cache). Moments are
-        tiny (h*w*2C ~ 64 KB/image in bf16 at 512px), so the default 512 MB budget holds
-        ~8000 unique images — larger than every reference benchmark's image set."""
-        if self._moment_cache is not None:
-            return self._moment_cache
+        """Lazily build the path-keyed VAE-moment pool (runtime.device_cache.make_moment_cache
+        — shared across the SD-1.5/SDXL/DiT scorers)."""
+        if self._moment_cache is None:
+            from diffsim_tpu.runtime.device_cache import make_moment_cache
+
+            self._moment_cache = make_moment_cache(self, self.dtype)
+        return self._moment_cache
         import os
 
         from diffsim_tpu.runtime.device_cache import DeviceFeatureCache
@@ -539,6 +541,7 @@ class DiffSimSD15(ScorerBase):
         pix_c: np.ndarray | None = None,
         *,
         loader=None,
+        row_map: dict | None = None,
         prompt="",
         target_block: str = "up_blocks",
         target_layer=0,
@@ -566,20 +569,21 @@ class DiffSimSD15(ScorerBase):
         assert len(paths_b) == T and len(paths_c) == T
         cache = self._ensure_moment_cache()
         idx3 = ensure_image_slots(cache, (paths_a, paths_b, paths_c), (pix_a, pix_b, pix_c),
-                                  loader, lambda k: load_and_process_u8(k, self.img_size))
+                                  loader, lambda k: load_and_process_u8(k, self.img_size),
+                                  row_map=row_map)
 
         prompts = [prompt] * T if isinstance(prompt, str) else list(prompt)
-        pad = 0
-        if self.mesh is not None:
-            quantum = meshlib.data_axis_size(self.mesh)
-            if chunk is not None:
-                assert chunk % quantum == 0, (chunk, quantum)
-                quantum = chunk
-            target = meshlib.pad_to_multiple(T, quantum)
-            pad = target - T
-            if pad:
-                idx3 = np.concatenate([idx3, np.repeat(idx3[-1:], pad, 0)], axis=0)
-                prompts = prompts + [prompts[-1]] * pad
+        quantum = meshlib.data_axis_size(self.mesh) if self.mesh is not None else 1
+        if chunk is not None:
+            # chunking applies with or without a mesh: one monolithic T-triplet graph is
+            # an HBM-OOM hazard (a 96-triplet graph measured 21G/15.75G)
+            assert chunk % quantum == 0, (chunk, quantum)
+            quantum = chunk
+        target = meshlib.pad_to_multiple(T, quantum)
+        pad = target - T
+        if pad:
+            idx3 = np.concatenate([idx3, np.repeat(idx3[-1:], pad, 0)], axis=0)
+            prompts = prompts + [prompts[-1]] * pad
         embeds_u, pidx = self._embeds_and_idx(prompts)
         sab, key = self._noise_consts(int(target_step), int(seed))
         n = len(prompts)

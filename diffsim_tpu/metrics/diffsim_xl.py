@@ -350,8 +350,11 @@ class DiffSimXL(ScorerBase):
     moment_cache_mb: float | None = None  # None => $DIFFSIM_TPU_MOMENT_CACHE_MB or 512
 
     def _ensure_moment_cache(self):
-        if self._moment_cache is not None:
-            return self._moment_cache
+        if self._moment_cache is None:
+            from diffsim_tpu.runtime.device_cache import make_moment_cache
+
+            self._moment_cache = make_moment_cache(self, self._enc_dtype)
+        return self._moment_cache
         import os
 
         from diffsim_tpu.parallel import mesh as meshlib
@@ -432,6 +435,7 @@ class DiffSimXL(ScorerBase):
         pix_c: np.ndarray | None = None,
         *,
         loader=None,
+        row_map: dict | None = None,
         prompt="",
         target_block: str = "up_blocks",
         target_layer=(0, 0, 0),
@@ -453,7 +457,8 @@ class DiffSimXL(ScorerBase):
         assert len(paths_b) == T and len(paths_c) == T
         cache = self._ensure_moment_cache()
         idx3 = ensure_image_slots(cache, (paths_a, paths_b, paths_c), (pix_a, pix_b, pix_c),
-                                  loader, lambda k: load_and_process_u8(k, self.img_size))
+                                  loader, lambda k: load_and_process_u8(k, self.img_size),
+                                  row_map=row_map)
 
         prompts = [prompt] * T if isinstance(prompt, str) else list(prompt)
         pad = 0

@@ -31,6 +31,17 @@ _SIZE = 336
 _GRID = 24  # 336 / 14
 
 
+class MattingInversionWarning(UserWarning):
+    """A heuristic matte was auto-inverted (border-dominant object). Registered 'always':
+    Python's default warning filter dedups by (message, location), which would collapse
+    the documented per-image warning to once per process."""
+
+
+import warnings as _warnings
+
+_warnings.filterwarnings("always", category=MattingInversionWarning)
+
+
 class U2NetMatting:
     """Model-based alpha matting: U^2-Net saliency, thresholded to a hard alpha (the FFA
     pipeline derives its patch mask from exactly-zeroed background pixels, so a binary matte
@@ -85,22 +96,19 @@ def heuristic_matting(image: Image.Image, threshold: float = 60.0,
     fg = dist > threshold
     if center_prior:
         h, w = fg.shape
-        center = fg[h // 3 : h - h // 3, w // 3 : w - w // 3]
+        center_cov = fg[h // 3 : h - h // 3, w // 3 : w - w // 3].mean()
         border_cov = np.concatenate([fg[0], fg[-1], fg[:, 0], fg[:, -1]]).mean()
-
-        def prior_score(c_mean, b_mean):
-            return c_mean - b_mean  # foreground should fill the center, not the border
-
-        if prior_score(1.0 - center.mean(), 1.0 - border_cov) > prior_score(
-                center.mean(), border_cov):
+        # a foreground matte should fill the center, not the border; the inverted matte
+        # scores (1-center) - (1-border), so "inversion wins" reduces to this comparison
+        if border_cov > center_cov:
             import warnings
 
             warnings.warn(
                 "heuristic_matting: matte looks inverted (object dominates the image "
-                "border, poisoning the border statistics) — using the inverted matte. "
-                "Supply U^2-Net weights (--matting_weights) for reliable matting on "
-                "close-ups.",
-                UserWarning,
+                f"border, poisoning the border statistics; border coverage {border_cov:.2f}"
+                f" > center {center_cov:.2f}) — using the inverted matte. Supply U^2-Net "
+                "weights (--matting_weights) for reliable matting on close-ups.",
+                MattingInversionWarning,
                 stacklevel=2,
             )
             fg = ~fg

@@ -41,10 +41,14 @@ class DeviceFeatureCache:
     VAE moments). ``pool`` is the initial (capacity, ...) device array.
     """
 
-    def __init__(self, pool, update: Callable, capacity: int):
+    def __init__(self, pool, update: Callable, capacity: int, slab_quantum: int = 1):
         self.pool = pool
         self._update = update
         self.capacity = int(capacity)
+        # slab sizes must be multiples of this (mesh data-axis size: miss slabs are
+        # data-sharded so each device encodes only its slice)
+        self._buckets = (UPLOAD_BUCKETS if slab_quantum <= 1 else
+                         tuple(slab_quantum * b for b in (1, 2, 4, 8, 16, 32)))
         self._slot_of: collections.OrderedDict[Hashable, int] = collections.OrderedDict()
         self._free = list(range(self.capacity - 1, -1, -1))  # pop() yields slot 0 first
         self.hits = 0
@@ -73,10 +77,11 @@ class DeviceFeatureCache:
         self.hits += len(keys) - len(seen_missing)
         self.misses += len(missing)
         if missing:
-            slots = [self._assign(k, pinned) for k in missing]
+            # decode BEFORE any slot assignment: a rows_for failure (unreadable image) must
+            # leave the cache map untouched, never pointing keys at unwritten rows
             rows = np.ascontiguousarray(rows_for(missing))
             assert rows.shape[0] == len(missing), (rows.shape, len(missing))
-            self._scatter(rows, np.asarray(slots, np.int32))
+            self._scatter(missing, rows, pinned)
         return np.asarray([self._slot_of[k] for k in keys], np.int32)
 
     def _assign(self, key: Hashable, pinned: set) -> int:
@@ -89,20 +94,31 @@ class DeviceFeatureCache:
         self._slot_of[key] = slot
         return slot
 
-    def _scatter(self, rows: np.ndarray, slots: np.ndarray):
-        """Write rows into pool slots in bucket-padded slabs (bounded compile count)."""
+    def _scatter(self, keys: list, rows: np.ndarray, pinned: set):
+        """Assign slots and write rows slab-by-slab (bucket-padded, bounded compile count).
+        Keys of a slab are registered together with its successful pool write: if an update
+        raises (relay compile 500, HBM OOM), the failing slab's keys are rolled back —
+        already-written slabs stay valid — so no key ever maps to an unwritten row."""
         n = rows.shape[0]
         start = 0
         while start < n:
-            k = min(n - start, UPLOAD_BUCKETS[-1])
-            bucket = next(b for b in UPLOAD_BUCKETS if b >= k)
+            k = min(n - start, self._buckets[-1])
+            bucket = next(b for b in self._buckets if b >= k)
+            slab_keys = keys[start : start + k]
+            slots = [self._assign(key, pinned) for key in slab_keys]
             sl_rows = rows[start : start + k]
-            sl_slots = slots[start : start + k]
+            sl_slots = np.asarray(slots, np.int32)
             if bucket > k:  # pad with repeats of the last row+slot: idempotent writes
                 reps = bucket - k
                 sl_rows = np.concatenate([sl_rows, np.repeat(sl_rows[-1:], reps, 0)], axis=0)
                 sl_slots = np.concatenate([sl_slots, np.repeat(sl_slots[-1:], reps, 0)], axis=0)
-            self.pool = self._update(self.pool, sl_rows, sl_slots)
+            try:
+                self.pool = self._update(self.pool, sl_rows, sl_slots)
+            except BaseException:
+                for key, slot in zip(slab_keys, slots):
+                    del self._slot_of[key]
+                    self._free.append(slot)
+                raise
             start += k
 
     def __contains__(self, key: Hashable) -> bool:
@@ -112,6 +128,60 @@ class DeviceFeatureCache:
     def stats(self) -> dict:
         return {"hits": self.hits, "misses": self.misses, "evictions": self.evictions,
                 "resident": len(self._slot_of), "capacity": self.capacity}
+
+
+def make_moment_cache(scorer, enc_dtype) -> DeviceFeatureCache:
+    """Shared builder for a scorer's VAE-moment pool (SD-1.5 / SDXL / DiT — they differ
+    only in the encode dtype). Reads ``scorer.{params,vae_cfg,img_size,mesh,
+    moment_cache_mb}``. Moments are tiny (h*w*2C ~ 64 KB/image in bf16 at 512px), so the
+    default 512 MB budget holds ~8000 unique images — larger than every reference
+    benchmark's image set.
+
+    The pool is allocated ON DEVICE (a host zeros + device_put would push the whole budget
+    through the relay). Under a mesh, miss slabs are DATA-SHARDED: each device encodes its
+    slice of the miss rows and the scatter into the replicated pool all-gathers — without
+    this the miss stream (paid every window) would be encoded redundantly on every chip.
+    Slab buckets are then multiples of the data-axis size."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffsim_tpu.models import vae
+    from diffsim_tpu.parallel import mesh as meshlib
+
+    mesh = scorer.mesh
+    cfg = scorer.vae_cfg
+    h = w = scorer.img_size // cfg.downscale
+    c2 = 2 * cfg.latent_channels
+    m_dtype = jax.eval_shape(
+        vae.encoder_apply,
+        scorer.params["vae"],
+        jax.ShapeDtypeStruct((1, scorer.img_size, scorer.img_size, 3), enc_dtype),
+    ).dtype
+    budget_mb = scorer.moment_cache_mb or float(
+        os.environ.get("DIFFSIM_TPU_MOMENT_CACHE_MB", "512"))
+    row_bytes = h * w * c2 * jnp.dtype(m_dtype).itemsize
+    cap = int(max(128, min(16384, budget_mb * 1e6 // row_bytes)))
+
+    def up(params, pool, pix_u8, slots):
+        x = (pix_u8.astype(jnp.float32) / 127.5 - 1.0).astype(enc_dtype)
+        m = vae.encoder_apply_chunked(params["vae"], x)
+        return pool.at[slots].set(m.astype(pool.dtype))
+
+    if mesh is not None:
+        rs = meshlib.replicated(mesh)
+        ds = meshlib.data_sharding(mesh)
+        pool = jax.jit(lambda: jnp.zeros((cap, h, w, c2), m_dtype), out_shardings=rs)()
+        up_jit = jax.jit(up, donate_argnums=1, in_shardings=(rs, rs, ds, ds),
+                         out_shardings=rs)
+        quantum = meshlib.data_axis_size(mesh)
+    else:
+        pool = jax.jit(lambda: jnp.zeros((cap, h, w, c2), m_dtype))()
+        up_jit = jax.jit(up, donate_argnums=1)
+        quantum = 1
+    update = lambda pool, rows, slots: up_jit(scorer.params, pool, rows, slots)
+    return DeviceFeatureCache(pool, update, cap, slab_quantum=quantum)
 
 
 def prewarm_missing(cache: DeviceFeatureCache, paths_roles, loader) -> int:
@@ -135,11 +205,13 @@ def prewarm_missing(cache: DeviceFeatureCache, paths_roles, loader) -> int:
 
 
 def ensure_image_slots(cache: DeviceFeatureCache, paths_roles, pix_roles, loader,
-                       load_fn) -> np.ndarray:
+                       load_fn, row_map: dict | None = None) -> np.ndarray:
     """Shared host half of every scorer's ``score_triplet_paths``: resolve the three role
     path lists to device-cache slots, feeding misses from (in priority order) the
-    caller-supplied decoded uint8 role arrays, the threaded ``loader``, or ``load_fn(path)
-    -> (1, H, W, 3) uint8``. Returns (T, 3) int32 slot indices [a, b, c] per triplet."""
+    caller-supplied decoded uint8 role arrays, a ``row_map`` {key: (H, W, 3) uint8} of
+    already-decoded rows (benchmarks supply only first-occurrence keys there — no
+    per-batch stacking of hit pixels), the threaded ``loader``, or ``load_fn(path) ->
+    (1, H, W, 3) uint8``. Returns (T, 3) int32 slot indices [a, b, c] per triplet."""
     import os as _os
 
     t = len(paths_roles[0])
@@ -161,6 +233,8 @@ def ensure_image_slots(cache: DeviceFeatureCache, paths_roles, pix_roles, loader
             hit = rowsrc.get(k)
             if hit is not None:
                 rows.append(hit[0][hit[1]])
+            elif row_map is not None and k in row_map:
+                rows.append(row_map[k])
             elif loader is not None:
                 rows.append(loader.submit(k))
             else:

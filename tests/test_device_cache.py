@@ -347,3 +347,38 @@ def test_prewarm_missing_submits_only_nonresident_unique():
     ld = Loader()
     n = prewarm_missing(cache, (["a", "c"], ["c", "d"], ["b", "d"]), ld)
     assert n == 2 and sorted(ld.submitted) == ["c", "d"]
+
+
+def test_failed_fill_leaves_cache_consistent():
+    """Review finding (round 4): a decode or device-update failure mid-fill must never
+    leave keys mapped to unwritten rows — later calls would silently 'hit' garbage."""
+    calls = {"n": 0}
+
+    def update(pool, rows, slots):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("relay compile 500")
+        out = pool.copy()
+        out[slots] = rows
+        return out
+
+    cache = DeviceFeatureCache(np.zeros((128, 2), np.float32), update, 128)
+    keys = [f"k{i}" for i in range(66)]  # slabs: 64 + 2 -> second slab raises
+    with pytest.raises(RuntimeError):
+        cache.ensure(keys, _rows_for)
+    # first slab's keys are valid residents; the failed slab's are not
+    assert [k in cache for k in keys] == [True] * 64 + [False] * 2
+    np.testing.assert_array_equal(cache.pool[cache._slot_of["k0"]], _rows_for(["k0"])[0])
+    # decode failure before any assignment: nothing changes
+    cache2 = DeviceFeatureCache(np.zeros((4, 2), np.float32), lambda p, r, s: p, 4)
+
+    def bad_rows(missing):
+        raise OSError("unreadable image")
+
+    with pytest.raises(OSError):
+        cache2.ensure(["x"], bad_rows)
+    assert "x" not in cache2 and cache2.stats["resident"] == 0
+    # the failed keys re-miss and fill cleanly afterwards
+    slots = cache.ensure(keys, _rows_for)
+    for k, s in zip(keys, slots):
+        np.testing.assert_array_equal(cache.pool[s], _rows_for([k])[0])

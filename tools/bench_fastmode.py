@@ -64,15 +64,16 @@ def bench_throughput(scorer, kwargs, windows: int) -> tuple[float, float]:
     rng = np.random.default_rng(1)
     work = ReuseWorkload(rng)
     for _ in range(2):
-        paths, pix = work.batch(BATCH)
-        scorer.score_triplet_paths(*paths, *pix, **kwargs)
+        paths, row_map = work.batch(BATCH)
+        scorer.score_triplet_paths(*paths, row_map=row_map, **kwargs)
     times = []
     for _ in range(windows):
         t0 = time.perf_counter()
         fetches = []
         for _ in range(ITERS):
-            paths, pix = work.batch(BATCH)
-            fetches.append(scorer.score_triplet_paths(*paths, *pix, blocking=False, **kwargs))
+            paths, row_map = work.batch(BATCH)
+            fetches.append(scorer.score_triplet_paths(*paths, row_map=row_map,
+                                                      blocking=False, **kwargs))
         for f in fetches:
             f()
         times.append(time.perf_counter() - t0)
