@@ -51,16 +51,20 @@ def rank(argv):
     queries = _list_images(ns.query_path) if os.path.isdir(ns.query_path) else [ns.query_path]
     gallery = _list_images(ns.gallery_path)
     os.makedirs(ns.out_path, exist_ok=True)
-    gal_pix = loader.load_batch(gallery)
+    if adapter.score_triplet_paths is None:
+        gal_pix = loader.load_batch(gallery)
 
     for q in queries:
-        q_pix = np.repeat(loader.load_batch([q]), len(gallery), axis=0)
-        scores = []
-        for start in range(0, len(gallery), args.batch_size):
-            end = start + args.batch_size
-            s = adapter.score_pairs(q_pix[start:end], gal_pix[start:end],
-                                    [args.prompt] * (min(end, len(gallery)) - start))
-            scores.extend(float(x) for x in s)
+        if adapter.score_triplet_paths is not None:
+            scores = _rank_cached(adapter, loader, q, gallery, args)
+        else:
+            q_pix = np.repeat(loader.load_batch([q]), len(gallery), axis=0)
+            scores = []
+            for start in range(0, len(gallery), args.batch_size):
+                end = start + args.batch_size
+                s = adapter.score_pairs(q_pix[start:end], gal_pix[start:end],
+                                        [args.prompt] * (min(end, len(gallery)) - start))
+                scores.extend(float(x) for x in s)
         order = np.argsort(scores)
         if not adapter.lower_better:
             order = order[::-1]
@@ -73,6 +77,35 @@ def rank(argv):
                 gal_name = os.path.splitext(os.path.basename(gallery[i]))[0]
                 f.write(f"{gal_name} {scores[i]:.6f}\n")
         print(f"wrote {out_file}")
+
+
+def _rank_cached(adapter, loader, query: str, gallery: list[str], args) -> list[float]:
+    """Rank through the device-resident moment cache: gallery pairs pack TWO per triplet
+    — (query, G_2i, G_2i+1) scores sim(Q, G_2i) and sim(Q, G_2i+1) with the query's
+    encode/forward shared (the 2AFC fusion) — and every image is keyed by path, so across
+    queries the whole gallery's moments upload + encode exactly once. The reference
+    re-encodes query AND gallery for every single pair (retrieval_vis.py was built on the
+    same per-pair DiffSim call, /root/reference/diffsim/diffsim.py:103-106)."""
+    g = list(gallery) + ([gallery[-1]] if len(gallery) % 2 else [])
+    pb, pc = g[0::2], g[1::2]
+    T = len(pb)
+    bs = max(1, args.batch_size)
+    fetches = []
+    for start in range(0, T, bs):
+        end = min(start + bs, T)
+        b, c = pb[start:end], pc[start:end]
+        if end - start < bs:  # pad the tail: one compiled graph per batch shape
+            b = b + [b[-1]] * (bs - (end - start))
+            c = c + [c[-1]] * (bs - (end - start))
+        fetches.append((end - start, adapter.score_triplet_paths(
+            [query] * bs, b, c, prompts=args.prompt, blocking=False, loader=loader)))
+    scores: list[float] = []
+    for n, f in fetches:
+        s_ab, s_ac = f()
+        for i in range(n):  # de-interleave back to gallery order
+            scores.append(float(s_ab[i]))
+            scores.append(float(s_ac[i]))
+    return scores[: len(gallery)]
 
 
 def _read_ranked_paths(rank_file: str, origin_path: str, k: int = 4) -> list[str]:

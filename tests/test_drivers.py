@@ -555,3 +555,34 @@ def test_cli_xl_vae_bf16_flag(data, tmp_path):
     pb = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
     out = adapter.score_pairs(pa, pb, ["x", "x"])
     assert np.all(np.isfinite(out)) and out.shape == (2,)
+
+
+def test_cli_retrieval_rank_diffsim_cached_matches_pairs(tmp_path):
+    """The diffsim metric ranks through the device-resident moment cache (gallery pairs
+    packed two-per-triplet, query forward shared); scores and order must match the plain
+    score_pairs path (--no_device_cache)."""
+    from diffsim_tpu.cli.retrieval import rank
+
+    gal = tmp_path / "gallery"
+    q = tmp_path / "queries"
+    gal.mkdir(); q.mkdir()
+    for i in range(5):  # odd gallery: exercises the pad-tail + de-interleave path
+        fixtures._img(310 + i).save(gal / f"g{i}.png")
+    fixtures._img(312).save(q / "q0.png")
+
+    base = [
+        "--query_path", str(q), "--gallery_path", str(gal),
+        "--metric", "diffsim", "--model_scale", "tiny", "--batch_size", "2",
+        "--image_size", "32", "--target_layer", "0", "--target_step", "600",
+    ]
+    rank(base + ["--out_path", str(tmp_path / "cached")])
+    rank(base + ["--out_path", str(tmp_path / "plain"), "--no_device_cache"])
+
+    def read(d):
+        lines = open(d / "q0.txt").read().splitlines()
+        return ([ln.split()[0] for ln in lines], [float(ln.split()[1]) for ln in lines])
+
+    c_names, c_scores = read(tmp_path / "cached")
+    p_names, p_scores = read(tmp_path / "plain")
+    assert len(c_names) == 5 and c_names == p_names
+    np.testing.assert_allclose(c_scores, p_scores, atol=2e-5)
