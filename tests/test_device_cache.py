@@ -382,3 +382,29 @@ def test_failed_fill_leaves_cache_consistent():
     slots = cache.ensure(keys, _rows_for)
     for k, s in zip(keys, slots):
         np.testing.assert_array_equal(cache.pool[s], _rows_for([k])[0])
+
+
+def test_bench_reuse_workload_contract():
+    """bench.py's ReuseWorkload (the driver's round-end artifact depends on it): row_map
+    carries exactly the NEW keys of each batch, every path is resolvable, and the long-run
+    unique:reference ratio approaches 1/REUSE."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import ReuseWorkload
+
+    rng = np.random.default_rng(0)
+    work = ReuseWorkload(rng, img=8, ring=4, reuse=10)
+    seen = set()
+    refs = 0
+    for _ in range(30):
+        paths, row_map = work.batch(16)
+        flat = [p for role in paths for p in role]
+        refs += len(flat)
+        new = set(flat) - seen
+        assert new == set(row_map), (new, set(row_map))
+        for k, v in row_map.items():
+            assert v.shape == (8, 8, 3) and v.dtype == np.uint8
+        seen |= set(flat)
+    ratio = len(seen) / refs
+    assert 0.05 < ratio < 0.2, ratio  # ~1/10 unique per reference
