@@ -326,13 +326,21 @@ def run_2afc_ensemble(
             inflight.append((chunks[ci], decode(chunks[ci])))
             ci += 1
         prompts = [comparisons[i].prompt for i in chunk]
+        roles = [[getattr(comparisons[i], r) for i in chunk] for r in "abc"]
+        pathlike = all(isinstance(p, (str, _os.PathLike)) for role in roles for p in role)
         fetches = []
         with timer.stage("dispatch"):
             for m, ad in enumerate(adapters):
                 pa = np.concatenate([a[m] for a, _, _ in arrs], axis=0)
                 pb = np.concatenate([b[m] for _, b, _ in arrs], axis=0)
                 pc = np.concatenate([c[m] for _, _, c in arrs], axis=0)
-                if ad.score_triplets is not None:
+                if getattr(ad, "score_triplet_paths", None) is not None and pathlike:
+                    # device-cache path: the ensemble's shared decode already produced this
+                    # metric's uint8 rows — they feed cache MISSES; repeats skip the upload
+                    # and VAE encode entirely
+                    fetches.append(ad.score_triplet_paths(*roles, pa, pb, pc, prompts,
+                                                          blocking=False))
+                elif ad.score_triplets is not None:
                     fetches.append(ad.score_triplets(pa, pb, pc, prompts, blocking=False))
                 else:
                     pix_a = np.concatenate([pa, pa], axis=0)
