@@ -66,6 +66,16 @@ def sdpa(
 
         if use_fused(q.shape, k.shape) and pallas_route(q.shape[0]):
             return fused_self_attention(q, k, v, bf16_probs=fast_softmax_enabled())
+        from diffsim_tpu.ops.pallas.attention_stream import (
+            streaming_self_attention,
+            use_streaming,
+        )
+
+        if use_streaming(q.shape, k.shape):
+            # wide-head long-sequence sites (the VAE's single-head d=512 mid attention):
+            # K/V streamed in blocks with online softmax — the full-K/V fused kernel's
+            # VMEM budget doesn't admit d > 160 (16 MB of K+V at 4096 tokens)
+            return streaming_self_attention(q, k, v)
     logits = jnp.einsum(
         "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
     )
