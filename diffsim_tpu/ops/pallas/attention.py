@@ -197,6 +197,8 @@ def pallas_route(batch0: int) -> bool:
 
     from diffsim_tpu.ops.pallas import spmd
 
+    if os.environ.get("DIFFSIM_TPU_NO_PALLAS") == "1":
+        return False  # kill switch: every site falls back to XLA math (same scores)
     if jax.devices()[0].platform == "cpu" and os.environ.get(
             "DIFFSIM_TPU_PALLAS_INTERPRET") != "1":
         return False

@@ -264,3 +264,17 @@ def test_streaming_attention_on_mesh(monkeypatch):
     monkeypatch.delenv("DIFFSIM_TPU_PALLAS_INTERPRET")
     ref = np.asarray(jax.nn.softmax((q @ jnp.swapaxes(k, -1, -2)) * 192**-0.5, -1) @ v)
     np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+def test_no_pallas_kill_switch(monkeypatch):
+    """DIFFSIM_TPU_NO_PALLAS=1 forces every dispatcher to the XLA math path — the
+    operational escape hatch for unattended runs if a kernel misbehaves on new hardware."""
+    monkeypatch.setenv("DIFFSIM_TPU_PALLAS_INTERPRET", "1")
+    import diffsim_tpu.ops.pallas.spmd as spmd
+    from diffsim_tpu.ops.pallas.attention import pallas_route
+    from diffsim_tpu.parallel import mesh as meshlib
+
+    with spmd.kernel_mesh(meshlib.make_mesh(8)):
+        assert pallas_route(8)
+        monkeypatch.setenv("DIFFSIM_TPU_NO_PALLAS", "1")
+        assert not pallas_route(8)
