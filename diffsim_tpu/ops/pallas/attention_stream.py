@@ -40,6 +40,8 @@ def _interpret() -> bool:
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nk):
+    # m/l scratch are (bq, 128) with ALL LANES EQUAL — full-lane stores are the layout
+    # Mosaic's own flash kernels use; (bq, 1) scalar columns are layout-hostile on the VPU
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -56,19 +58,19 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nk):
     )
     # scale folded into exp's operand (same identity as the fused kernel: max over
     # unscaled logits, scale > 0)
-    m_prev = m_ref[...]  # (bq, 1) f32
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp((s - m_new) * scale)
-    alpha = jnp.exp((m_prev - m_new) * scale)
+    m_prev = m_ref[...]  # (bq, 128), lanes equal
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))  # broadcast -> (bq, 128)
+    p = jnp.exp((s - m_new[:, :1]) * scale)  # (bq, bk)
+    alpha = jnp.exp((m_prev - m_new) * scale)  # (bq, 128), lanes equal
     l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
+    acc_ref[...] = acc_ref[...] * alpha[:, :1] + jnp.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
     m_ref[...] = m_new
 
     @pl.when(kk == nk - 1)
     def _finish():
-        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[...] / l_ref[...][:, :1]).astype(o_ref.dtype)
 
 
 def _pallas_forward(q, k, v, block_q, block_k):
@@ -92,8 +94,8 @@ def _pallas_forward(q, k, v, block_q, block_k):
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((bq, 1), jnp.float32),  # m (running max)
-            pltpu.VMEM((bq, 1), jnp.float32),  # l (normalizer)
+            pltpu.VMEM((bq, 128), jnp.float32),  # m (running max, lanes equal)
+            pltpu.VMEM((bq, 128), jnp.float32),  # l (normalizer, lanes equal)
             pltpu.VMEM((bq, d), jnp.float32),  # acc
         ],
         cost_estimate=pl.CostEstimate(
