@@ -176,3 +176,26 @@ def test_triplet_graph_routes_kernels_on_mesh(interpret_env, tmp_path):
     plain = scorer().score_triplet_paths(paths[0:2], paths[2:4], paths[4:6], **kw)
     np.testing.assert_allclose(routed[0], plain[0], atol=5e-5)
     np.testing.assert_allclose(routed[1], plain[1], atol=5e-5)
+
+
+def test_same_shape_traces_do_not_leak_across_mesh_contexts(interpret_env):
+    """Regression (round 4): the kernels' module-level inner jits cached traces keyed only
+    on avals, so a trace captured WITHOUT the kernel mesh was silently reused inside a
+    sharded graph with identical shapes (found as a test-order-dependent routing failure;
+    the inner jits were removed). Trace the no-mesh graph FIRST, then the mesh graph with
+    the same shapes — the latter must still take the shard_map path."""
+    from diffsim_tpu.ops.pallas.attention import fused_self_attention
+
+    rng = np.random.default_rng(9)
+    q, k, v = (jnp.asarray(rng.standard_normal((8, 2, 256, 48)), jnp.float32) * 0.3
+               for _ in range(3))
+    plain = np.asarray(jax.jit(fused_self_attention)(q, k, v))  # no-mesh trace, same avals
+
+    mesh = _mesh()
+    ds = meshlib.data_sharding(mesh)
+    calls = spmd.SMAP_CALLS
+    fn = meshlib.kernel_jit(fused_self_attention, mesh, in_shardings=(ds, ds, ds),
+                            out_shardings=ds)
+    out = np.asarray(fn(*_sharded(mesh, q, k, v)))
+    assert spmd.SMAP_CALLS == calls + 1, "mesh trace reused the no-mesh kernel path"
+    np.testing.assert_allclose(out, plain, atol=2e-5)
