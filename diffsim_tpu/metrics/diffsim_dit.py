@@ -256,6 +256,7 @@ class DiffSimDiT(ScorerBase):
         similarity: str = "cosine",
         seed: int = 2333,
         blocking: bool = True,
+        chunk: int | None = None,
     ):
         """(s_ab, s_ac) for T triplets given image PATHS through the device-resident moment
         cache — each unique image uploaded + VAE-encoded ONCE (see DiffSimSD15's docstring;
@@ -271,24 +272,26 @@ class DiffSimDiT(ScorerBase):
         idx3 = ensure_image_slots(cache, (paths_a, paths_b, paths_c), (pix_a, pix_b, pix_c),
                                   loader, lambda k: load_and_process_u8(k, self.img_size),
                                   row_map=row_map)
-        pad = 0
-        if self.mesh is not None:
-            from diffsim_tpu.parallel import mesh as meshlib
+        from diffsim_tpu.parallel import mesh as meshlib
 
-            target = meshlib.pad_to_multiple(T, meshlib.data_axis_size(self.mesh))
-            pad = target - T
-            if pad:
-                idx3 = np.concatenate([idx3, np.repeat(idx3[-1:], pad, 0)], axis=0)
+        quantum = meshlib.data_axis_size(self.mesh) if self.mesh is not None else 1
+        if chunk is not None:
+            assert chunk % quantum == 0, (chunk, quantum)
+            quantum = chunk
+        n = meshlib.pad_to_multiple(T, quantum)
+        pad = n - T
+        if pad:
+            idx3 = np.concatenate([idx3, np.repeat(idx3[-1:], pad, 0)], axis=0)
+        sab = (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b))
+        key = jax.random.PRNGKey(int(seed))
         fn = self._cached_triplet_fn(tap, similarity)
-        s_ab, s_ac = fn(
-            self.params, cache.pool, idx3,
-            (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
-            jax.random.PRNGKey(int(seed)),
-        )
+        step = chunk if chunk is not None else n
+        outs = [fn(self.params, cache.pool, idx3[i:i + step], sab, key)
+                for i in range(0, n, step)]
 
         def fetch():
-            a_ = np.asarray(jax.device_get(s_ab), np.float32)
-            c_ = np.asarray(jax.device_get(s_ac), np.float32)
+            a_ = np.concatenate([np.asarray(jax.device_get(o[0]), np.float32) for o in outs])
+            c_ = np.concatenate([np.asarray(jax.device_get(o[1]), np.float32) for o in outs])
             return (a_[:T], c_[:T]) if pad else (a_, c_)
 
         return fetch() if blocking else fetch

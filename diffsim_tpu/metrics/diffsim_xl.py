@@ -443,6 +443,7 @@ class DiffSimXL(ScorerBase):
         similarity: str = "cosine",
         seed: int = 2333,
         blocking: bool = True,
+        chunk: int | None = None,
     ):
         """(s_ab, s_ac) for T triplets given image PATHS through the device-resident moment
         cache — each unique image uploaded + fp32-VAE-encoded ONCE (see DiffSimSD15's
@@ -461,26 +462,33 @@ class DiffSimXL(ScorerBase):
                                   row_map=row_map)
 
         prompts = [prompt] * T if isinstance(prompt, str) else list(prompt)
-        pad = 0
-        if self.mesh is not None:
-            from diffsim_tpu.parallel import mesh as meshlib
+        from diffsim_tpu.parallel import mesh as meshlib
 
-            target = meshlib.pad_to_multiple(T, meshlib.data_axis_size(self.mesh))
-            pad = target - T
-            if pad:
-                idx3 = np.concatenate([idx3, np.repeat(idx3[-1:], pad, 0)], axis=0)
-                prompts = prompts + [prompts[-1]] * pad
+        quantum = meshlib.data_axis_size(self.mesh) if self.mesh is not None else 1
+        if chunk is not None:
+            # host-side chunking: one monolithic T-triplet graph at 1024px is an HBM-OOM
+            # hazard (the same class as the measured 21G/15.75G 96-triplet graph)
+            assert chunk % quantum == 0, (chunk, quantum)
+            quantum = chunk
+        target = meshlib.pad_to_multiple(T, quantum)
+        pad = target - T
+        if pad:
+            idx3 = np.concatenate([idx3, np.repeat(idx3[-1:], pad, 0)], axis=0)
+            prompts = prompts + [prompts[-1]] * pad
         embeds_u, pooled_u, pidx = self._embeds_and_idx(prompts)
+        sab = (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b))
+        key = jax.random.PRNGKey(int(seed))
         fn = self._cached_triplet_fn(tap, similarity)
-        s_ab, s_ac = fn(
-            self.params, cache.pool, idx3, embeds_u, pooled_u, pidx,
-            (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
-            jax.random.PRNGKey(int(seed)),
-        )
+        step = chunk if chunk is not None else len(prompts)
+        outs = [
+            fn(self.params, cache.pool, idx3[i:i + step], embeds_u, pooled_u,
+               pidx[i:i + step], sab, key)
+            for i in range(0, len(prompts), step)
+        ]
 
         def fetch():
-            a_ = np.asarray(jax.device_get(s_ab), np.float32)
-            c_ = np.asarray(jax.device_get(s_ac), np.float32)
+            a_ = np.concatenate([np.asarray(jax.device_get(o[0]), np.float32) for o in outs])
+            c_ = np.concatenate([np.asarray(jax.device_get(o[1]), np.float32) for o in outs])
             return (a_[:T], c_[:T]) if pad else (a_, c_)
 
         return fetch() if blocking else fetch

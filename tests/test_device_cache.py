@@ -408,3 +408,27 @@ def test_bench_reuse_workload_contract():
         seen |= set(flat)
     ratio = len(seen) / refs
     assert 0.05 < ratio < 0.2, ratio  # ~1/10 unique per reference
+
+
+def test_xl_dit_cached_chunks_match_plain(tmp_path):
+    """Host-side chunking (HBM safety at 1024px) is score-invariant for XL and DiT."""
+    from diffsim_tpu.metrics.diffsim_dit import DiffSimDiT
+    from diffsim_tpu.models import dit as dit_mod
+
+    paths = _image_files(tmp_path, 8)
+    pa = [paths[i % 4] for i in range(6)]
+    pb = [paths[4 + i % 2] for i in range(6)]
+    pc = [paths[6 + i % 2] for i in range(6)]
+
+    xl = _xl_scorer()
+    plain = xl.score_triplet_paths(pa, pb, pc, prompt="p", target_step=900)
+    chunked = xl.score_triplet_paths(pa, pb, pc, prompt="p", target_step=900, chunk=2)
+    np.testing.assert_array_equal(plain[0], chunked[0])
+    np.testing.assert_array_equal(plain[1], chunked[1])
+
+    dit_sc = DiffSimDiT(dit_cfg=dit_mod.DiTConfig.tiny(input_size=16, num_classes=1000),
+                        vae_cfg=vae.VAEConfig.tiny(), img_size=32, dtype=np.float32)
+    plain = dit_sc.score_triplet_paths(pa, pb, pc, target_layer=0, target_step=600)
+    chunked = dit_sc.score_triplet_paths(pa, pb, pc, target_layer=0, target_step=600, chunk=3)
+    np.testing.assert_array_equal(plain[0], chunked[0])
+    np.testing.assert_array_equal(plain[1], chunked[1])
