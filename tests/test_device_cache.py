@@ -432,3 +432,16 @@ def test_xl_dit_cached_chunks_match_plain(tmp_path):
     chunked = dit_sc.score_triplet_paths(pa, pb, pc, target_layer=0, target_step=600, chunk=3)
     np.testing.assert_array_equal(plain[0], chunked[0])
     np.testing.assert_array_equal(plain[1], chunked[1])
+
+
+def test_cached_path_on_model_axis_mesh_matches_single_device(tmp_path):
+    """The ('data','model') mesh's model axis is reserved (all backbones fit one chip);
+    a non-trivial model axis must still score identically — activations replicate over it
+    and the shard_mapped kernels carry it as equal-value lanes."""
+    paths = _image_files(tmp_path, 6)
+    pa, pb, pc = paths[0:2], paths[2:4], paths[4:6]
+    kw = dict(prompt="p", target_step=600)
+    ref = _scorer().score_triplet_paths(pa, pb, pc, **kw)
+    got = _scorer(mesh=meshlib.make_mesh(8, model_axis=2)).score_triplet_paths(pa, pb, pc, **kw)
+    np.testing.assert_allclose(got[0], ref[0], atol=1e-5)
+    np.testing.assert_allclose(got[1], ref[1], atol=1e-5)
