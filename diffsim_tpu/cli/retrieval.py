@@ -90,21 +90,28 @@ def _rank_cached(adapter, loader, query: str, gallery: list[str], args) -> list[
     pb, pc = g[0::2], g[1::2]
     T = len(pb)
     bs = max(1, args.batch_size)
-    fetches = []
+    scores: list[float] = []
+    inflight: list[tuple[int, object]] = []  # bounded queue (the runner's pattern):
+    PREFETCH = 2  # dispatch overlaps the previous fetch without unbounded relay backlog
+
+    def drain(limit):
+        while len(inflight) > limit:
+            n, f = inflight.pop(0)
+            s_ab, s_ac = f()
+            for i in range(n):  # de-interleave back to gallery order
+                scores.append(float(s_ab[i]))
+                scores.append(float(s_ac[i]))
+
     for start in range(0, T, bs):
         end = min(start + bs, T)
         b, c = pb[start:end], pc[start:end]
         if end - start < bs:  # pad the tail: one compiled graph per batch shape
             b = b + [b[-1]] * (bs - (end - start))
             c = c + [c[-1]] * (bs - (end - start))
-        fetches.append((end - start, adapter.score_triplet_paths(
+        inflight.append((end - start, adapter.score_triplet_paths(
             [query] * bs, b, c, prompts=args.prompt, blocking=False, loader=loader)))
-    scores: list[float] = []
-    for n, f in fetches:
-        s_ab, s_ac = f()
-        for i in range(n):  # de-interleave back to gallery order
-            scores.append(float(s_ab[i]))
-            scores.append(float(s_ac[i]))
+        drain(PREFETCH)
+    drain(0)
     return scores[: len(gallery)]
 
 

@@ -186,41 +186,6 @@ class DiffSimDiT(ScorerBase):
 
             self._moment_cache = make_moment_cache(self, self.dtype)
         return self._moment_cache
-        import os
-
-        from diffsim_tpu.parallel import mesh as meshlib
-        from diffsim_tpu.runtime.device_cache import DeviceFeatureCache
-
-        down = self.vae_cfg.downscale
-        h = w = self.img_size // down
-        c2 = 2 * self.vae_cfg.latent_channels
-        m_dtype = jax.eval_shape(
-            vae.encoder_apply,
-            self.params["vae"],
-            jax.ShapeDtypeStruct((1, self.img_size, self.img_size, 3), self.dtype),
-        ).dtype
-        budget_mb = self.moment_cache_mb or float(
-            os.environ.get("DIFFSIM_TPU_MOMENT_CACHE_MB", "512"))
-        row_bytes = h * w * c2 * jnp.dtype(m_dtype).itemsize
-        cap = int(max(128, min(16384, budget_mb * 1e6 // row_bytes)))
-        rs = meshlib.replicated(self.mesh) if self.mesh is not None else None
-        alloc = jax.jit(lambda: jnp.zeros((cap, h, w, c2), m_dtype),
-                        **({"out_shardings": rs} if rs is not None else {}))
-        pool = alloc()
-
-        def up(params, pool, pix_u8, slots):
-            x = (pix_u8.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
-            m = vae.encoder_apply_chunked(params["vae"], x)
-            return pool.at[slots].set(m.astype(pool.dtype))
-
-        if self.mesh is not None:
-            up_jit = jax.jit(up, donate_argnums=1, in_shardings=(rs, rs, rs, rs),
-                             out_shardings=rs)
-        else:
-            up_jit = jax.jit(up, donate_argnums=1)
-        update = lambda pool, rows, slots: up_jit(self.params, pool, rows, slots)
-        self._moment_cache = DeviceFeatureCache(pool, update, cap)
-        return self._moment_cache
 
     @functools.lru_cache(maxsize=16)
     def _cached_triplet_fn(self, tap: TapSpec, similarity: str):
@@ -272,20 +237,15 @@ class DiffSimDiT(ScorerBase):
         idx3 = ensure_image_slots(cache, (paths_a, paths_b, paths_c), (pix_a, pix_b, pix_c),
                                   loader, lambda k: load_and_process_u8(k, self.img_size),
                                   row_map=row_map)
-        from diffsim_tpu.parallel import mesh as meshlib
+        from diffsim_tpu.runtime.device_cache import resolve_cached_chunk
 
-        quantum = meshlib.data_axis_size(self.mesh) if self.mesh is not None else 1
-        if chunk is not None:
-            assert chunk % quantum == 0, (chunk, quantum)
-            quantum = chunk
-        n = meshlib.pad_to_multiple(T, quantum)
+        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size)
         pad = n - T
         if pad:
             idx3 = np.concatenate([idx3, np.repeat(idx3[-1:], pad, 0)], axis=0)
         sab = (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b))
         key = jax.random.PRNGKey(int(seed))
         fn = self._cached_triplet_fn(tap, similarity)
-        step = chunk if chunk is not None else n
         outs = [fn(self.params, cache.pool, idx3[i:i + step], sab, key)
                 for i in range(0, n, step)]
 

@@ -454,43 +454,6 @@ class DiffSimSD15(ScorerBase):
 
             self._moment_cache = make_moment_cache(self, self.dtype)
         return self._moment_cache
-        import os
-
-        from diffsim_tpu.runtime.device_cache import DeviceFeatureCache
-
-        down = self.vae_cfg.downscale
-        h = w = self.img_size // down
-        c2 = 2 * self.vae_cfg.latent_channels
-        m_dtype = jax.eval_shape(
-            vae.encoder_apply,
-            self.params["vae"],
-            jax.ShapeDtypeStruct((1, self.img_size, self.img_size, 3), self.dtype),
-        ).dtype
-        budget_mb = self.moment_cache_mb or float(
-            os.environ.get("DIFFSIM_TPU_MOMENT_CACHE_MB", "512"))
-        row_bytes = h * w * c2 * jnp.dtype(m_dtype).itemsize
-        cap = int(max(128, min(16384, budget_mb * 1e6 // row_bytes)))
-        rs = meshlib.replicated(self.mesh) if self.mesh is not None else None
-
-        # allocate the pool ON DEVICE (a host-side zeros + device_put would push the whole
-        # budget through the relay)
-        alloc = jax.jit(lambda: jnp.zeros((cap, h, w, c2), m_dtype),
-                        **({"out_shardings": rs} if rs is not None else {}))
-        pool = alloc()
-
-        def up(params, pool, pix_u8, slots):
-            x = (pix_u8.astype(jnp.float32) / 127.5 - 1.0).astype(self.dtype)
-            m = vae.encoder_apply_chunked(params["vae"], x)
-            return pool.at[slots].set(m.astype(pool.dtype))
-
-        if self.mesh is not None:
-            up_jit = jax.jit(up, donate_argnums=1, in_shardings=(rs, rs, rs, rs),
-                             out_shardings=rs)
-        else:
-            up_jit = jax.jit(up, donate_argnums=1)
-        update = lambda pool, rows, slots: up_jit(self.params, pool, rows, slots)
-        self._moment_cache = DeviceFeatureCache(pool, update, cap)
-        return self._moment_cache
 
     @functools.lru_cache(maxsize=32)
     def _cached_triplet_fn(self, tap: TapSpec, similarity: str):
@@ -573,22 +536,17 @@ class DiffSimSD15(ScorerBase):
                                   row_map=row_map)
 
         prompts = [prompt] * T if isinstance(prompt, str) else list(prompt)
-        quantum = meshlib.data_axis_size(self.mesh) if self.mesh is not None else 1
-        if chunk is not None:
-            # chunking applies with or without a mesh: one monolithic T-triplet graph is
-            # an HBM-OOM hazard (a 96-triplet graph measured 21G/15.75G)
-            assert chunk % quantum == 0, (chunk, quantum)
-            quantum = chunk
-        target = meshlib.pad_to_multiple(T, quantum)
-        pad = target - T
+        from diffsim_tpu.runtime.device_cache import resolve_cached_chunk
+
+        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size)
+        pad = n - T
         if pad:
             idx3 = np.concatenate([idx3, np.repeat(idx3[-1:], pad, 0)], axis=0)
             prompts = prompts + [prompts[-1]] * pad
         embeds_u, pidx = self._embeds_and_idx(prompts)
         sab, key = self._noise_consts(int(target_step), int(seed))
-        n = len(prompts)
-        if chunk is not None and n % chunk == 0 and n > chunk:
-            shape = (n // chunk, chunk)
+        if step < n:
+            shape = (n // step, step)
             fn = self._cached_triplet_scan_fn(tap, similarity)
             s_ab, s_ac = fn(self.params, cache.pool, idx3.reshape(shape + (3,)),
                             embeds_u, pidx.reshape(shape), sab, key)

@@ -75,7 +75,7 @@ def sdpa(
             # wide-head long-sequence sites (the VAE's single-head d=512 mid attention):
             # K/V streamed in blocks with online softmax — the full-K/V fused kernel's
             # VMEM budget doesn't admit d > 160 (16 MB of K+V at 4096 tokens)
-            return streaming_self_attention(q, k, v)
+            return streaming_self_attention(q, k, v, bf16_probs=fast_softmax_enabled())
     logits = jnp.einsum(
         "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
     )

@@ -39,7 +39,8 @@ def _interpret() -> bool:
     return spmd.interpret_env()
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nk):
+def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nk,
+            bf16_probs=False):
     # m/l scratch are (bq, 128) with ALL LANES EQUAL — full-lane stores are the layout
     # Mosaic's own flash kernels use; (bq, 1) scalar columns are layout-hostile on the VPU
     kk = pl.program_id(2)
@@ -60,7 +61,12 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nk):
     # unscaled logits, scale > 0)
     m_prev = m_ref[...]  # (bq, 128), lanes equal
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))  # broadcast -> (bq, 128)
-    p = jnp.exp((s - m_new[:, :1]) * scale)  # (bq, bk)
+    centered = s - m_new[:, :1]
+    if bf16_probs:
+        # fast mode (ops.attention.fast_softmax): exp/sum over the score tile in bf16 —
+        # same contract as the fused kernel's bf16_probs (f32 max keeps range safety)
+        centered = centered.astype(jnp.bfloat16).astype(jnp.float32)
+    p = jnp.exp(centered * scale)  # (bq, bk)
     alpha = jnp.exp((m_prev - m_new) * scale)  # (bq, 128), lanes equal
     l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[...] = acc_ref[...] * alpha[:, :1] + jnp.dot(
@@ -73,7 +79,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nk):
         o_ref[0] = (acc_ref[...] / l_ref[...][:, :1]).astype(o_ref.dtype)
 
 
-def _pallas_forward(q, k, v, block_q, block_k):
+def _pallas_forward(q, k, v, block_q, block_k, bf16_probs=False):
     b, h, s, d = q.shape
     scale = d**-0.5
     bq = min(block_q, s)
@@ -83,7 +89,7 @@ def _pallas_forward(q, k, v, block_q, block_k):
     k3 = k.reshape(b * h, s, d)
     v3 = v.reshape(b * h, s, d)
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, nk=nk),
+        functools.partial(_kernel, scale=scale, nk=nk, bf16_probs=bf16_probs),
         out_shape=jax.ShapeDtypeStruct((b * h, s, d), v.dtype),
         grid=(b * h, s // bq, nk),
         in_specs=[
@@ -108,16 +114,16 @@ def _pallas_forward(q, k, v, block_q, block_k):
     return out.reshape(b, h, s, d)
 
 
-def _forward_impl(q, k, v, block_q, block_k):
+def _forward_impl(q, k, v, block_q, block_k, bf16_probs=False):
     """SPMD dispatch identical to the fused kernel's (ops/pallas/spmd.py)."""
     from diffsim_tpu.ops.pallas import spmd
 
     if spmd.batch_shardable(q.shape[0]):
         return spmd.smap_batch(
-            lambda q, k, v: _pallas_forward(q, k, v, block_q, block_k),
+            lambda q, k, v: _pallas_forward(q, k, v, block_q, block_k, bf16_probs),
             (True, True, True),
         )(q, k, v)
-    return _pallas_forward(q, k, v, block_q, block_k)
+    return _pallas_forward(q, k, v, block_q, block_k, bf16_probs)
 
 
 def _blocks(s: int, d: int) -> tuple[int, int]:
@@ -131,13 +137,14 @@ def _blocks(s: int, d: int) -> tuple[int, int]:
     return bq, bk
 
 
-def streaming_self_attention(q: jax.Array, k: jax.Array, v: jax.Array):
+def streaming_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                             bf16_probs: bool = False):
     """(B, H, S, D) self-attention for wide heads (D > 160), softmax scale 1/sqrt(D).
     S must be a multiple of the blocks (powers of two >= 2048 in the routed sites).
     Forward-only: the scoring graphs never differentiate through the VAE encode."""
     s, d = q.shape[-2], q.shape[-1]
     bq, bk = _blocks(s, d)
-    return _forward_impl(q, k, v, bq, bk)
+    return _forward_impl(q, k, v, bq, bk, bf16_probs)
 
 
 MIN_STREAM_SEQ = 8192  # route only where XLA is measured BAD: the 16,384-token 1024px VAE

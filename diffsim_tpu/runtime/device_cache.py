@@ -184,6 +184,26 @@ def make_moment_cache(scorer, enc_dtype) -> DeviceFeatureCache:
     return DeviceFeatureCache(pool, update, cap, slab_quantum=quantum)
 
 
+def resolve_cached_chunk(mesh, t: int, chunk: int | None, img_size: int) -> tuple[int, int]:
+    """Chunking policy for the cached triplet dispatch, shared by the three scorers:
+    returns (step, padded_n). An explicit ``chunk`` must be a multiple of the mesh data
+    axis. When None, an HBM-safety default kicks in for large T: the known-good
+    24-triplet graph at 512px, scaled by resolution^2 (a monolithic 96-triplet graph
+    measured 21.05G against the 15.75G HBM) — production callers (runner batches, bench)
+    stay below it, so their single-graph dispatch is unchanged."""
+    from diffsim_tpu.parallel import mesh as meshlib
+
+    quantum = meshlib.data_axis_size(mesh) if mesh is not None else 1
+    if chunk is None:
+        auto = meshlib.pad_to_multiple(max(1, int(24 * (512 / img_size) ** 2)), quantum)
+        chunk = auto if t > auto else None
+    if chunk is not None:
+        assert chunk % quantum == 0, (chunk, quantum)
+        quantum = chunk
+    n = meshlib.pad_to_multiple(t, quantum)
+    return (chunk if chunk is not None else n), n
+
+
 def prewarm_missing(cache: DeviceFeatureCache, paths_roles, loader) -> int:
     """Kick off threaded decodes for paths not yet device-resident (dropping the futures —
     the loader's path-keyed LRU retains the arrays, so the later ensure() miss fill returns
