@@ -445,3 +445,28 @@ def test_cached_path_on_model_axis_mesh_matches_single_device(tmp_path):
     got = _scorer(mesh=meshlib.make_mesh(8, model_axis=2)).score_triplet_paths(pa, pb, pc, **kw)
     np.testing.assert_allclose(got[0], ref[0], atol=1e-5)
     np.testing.assert_allclose(got[1], ref[1], atol=1e-5)
+
+
+def test_resolve_cached_chunk_policy():
+    """HBM-safety auto-chunking: large T at high resolution chunks by the 24@512px anchor
+    scaled by resolution^2; production-sized calls (runner batches, bench) stay monolithic;
+    explicit chunk must divide by the mesh data axis."""
+    from diffsim_tpu.runtime.device_cache import resolve_cached_chunk
+
+    # production shapes: no auto-chunking
+    assert resolve_cached_chunk(None, 24, None, 512) == (24, 24)
+    assert resolve_cached_chunk(None, 2, None, 1024) == (2, 2)
+    # the measured OOM class (96 triplets @512px -> 21G/15.75G): auto-chunks at 24
+    assert resolve_cached_chunk(None, 96, None, 512) == (24, 96)
+    # 1024px: anchor scales to 6
+    step, n = resolve_cached_chunk(None, 16, None, 1024)
+    assert step == 6 and n == 18
+    # explicit chunk pads T up to a multiple
+    assert resolve_cached_chunk(None, 10, 4, 512) == (4, 12)
+    # mesh: quantum divides everything
+    mesh = meshlib.make_mesh(8)
+    assert resolve_cached_chunk(mesh, 5, None, 512) == (8, 8)
+    step, n = resolve_cached_chunk(mesh, 200, None, 512)
+    assert step == 24 and n == 216  # auto 24 is an 8-multiple
+    with pytest.raises(AssertionError):
+        resolve_cached_chunk(mesh, 16, 6, 512)  # 6 not a multiple of the data axis
