@@ -28,6 +28,9 @@ from diffsim_tpu.ops.taps import QKV, TapSpec
 
 
 class DiffSimDiT(ScorerBase):
+    # DiT-XL/2 vs SD-1.5 at 512px: 3.22 / 2.84 TFLOP/pair (tools/flops_ratio.py)
+    hbm_scale = 1.15
+
     def __init__(
         self,
         params=None,
@@ -239,7 +242,7 @@ class DiffSimDiT(ScorerBase):
                                   row_map=row_map)
         from diffsim_tpu.runtime.device_cache import resolve_cached_chunk
 
-        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size)
+        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size, scorer=self)
         pad = n - T
         if pad:
             idx3 = np.concatenate([idx3, np.repeat(idx3[-1:], pad, 0)], axis=0)
@@ -309,32 +312,31 @@ class DiffSimDiT(ScorerBase):
         similarity: str = "cosine",
         seed: int = 2333,
         blocking: bool = True,
+        chunk: int | None = None,
         **_,
     ):
+        from diffsim_tpu.runtime.device_cache import resolve_cached_chunk
+
         tap = TapSpec("blocks", (self._resolve_layer(target_layer),), "attn1", QKV)
         spec = schedulers.dit_noise_spec(target_step)
         T = pix_a.shape[0]
         transport = np.uint8 if pix_a.dtype == np.uint8 else self.dtype
         pix = np.stack([pix_a, pix_b, pix_c], axis=1).astype(transport)
-        pad = 0
-        if self.mesh is not None:
-            from diffsim_tpu.parallel import mesh as meshlib
-
-            target = meshlib.pad_to_multiple(T, meshlib.data_axis_size(self.mesh))
-            pad = target - T
-            if pad:
-                pix = np.concatenate([pix, np.repeat(pix[-1:], pad, 0)], axis=0)
+        # shared chunk policy + pre-flight HBM guard (runtime.hbm_guard): large T is
+        # dispatched as step-sized launches instead of one over-budget monolith
+        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size, scorer=self)
+        pad = n - T
+        if pad:
+            pix = np.concatenate([pix, np.repeat(pix[-1:], pad, 0)], axis=0)
         fn = self._triplet_fn(tap, similarity)
-        s_ab, s_ac = fn(
-            self.params,
-            jnp.asarray(pix),
-            (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
-            jax.random.PRNGKey(int(seed)),
-        )
+        sab = (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b))
+        key = jax.random.PRNGKey(int(seed))
+        outs = [fn(self.params, jnp.asarray(pix[i:i + step]), sab, key)
+                for i in range(0, n, step)]
 
         def fetch():
-            a_ = np.asarray(jax.device_get(s_ab), np.float32)
-            c_ = np.asarray(jax.device_get(s_ac), np.float32)
+            a_ = np.concatenate([np.asarray(jax.device_get(o[0]), np.float32) for o in outs])
+            c_ = np.concatenate([np.asarray(jax.device_get(o[1]), np.float32) for o in outs])
             return (a_[:T], c_[:T]) if pad else (a_, c_)
 
         return fetch() if blocking else fetch

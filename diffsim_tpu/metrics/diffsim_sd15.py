@@ -538,7 +538,7 @@ class DiffSimSD15(ScorerBase):
         prompts = [prompt] * T if isinstance(prompt, str) else list(prompt)
         from diffsim_tpu.runtime.device_cache import resolve_cached_chunk
 
-        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size)
+        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size, scorer=self)
         pad = n - T
         if pad:
             idx3 = np.concatenate([idx3, np.repeat(idx3[-1:], pad, 0)], axis=0)
@@ -585,27 +585,25 @@ class DiffSimSD15(ScorerBase):
         jitted program — one launch + one fetch for the whole batch (the relay charges ~0.5 s
         latency per launch/fetch), with peak activation memory bounded by the chunk size.
         Matches the unchunked path up to XLA fusion-order float rounding."""
+        from diffsim_tpu.runtime.device_cache import resolve_cached_chunk
+
         tap = sd15_tap(target_block, target_layer, False, fix_layer_collapse, text_attn)
         T = pix_a.shape[0]
         transport = np.uint8 if pix_a.dtype == np.uint8 else self.dtype
         roles = [np.asarray(p).astype(transport, copy=False) for p in (pix_a, pix_b, pix_c)]
         prompts = [prompt] * T if isinstance(prompt, str) else list(prompt)
-        pad = 0
-        if self.mesh is not None:
-            quantum = meshlib.data_axis_size(self.mesh)
-            if chunk is not None:
-                assert chunk % quantum == 0, (chunk, quantum)
-                quantum = chunk
-            target = meshlib.pad_to_multiple(T, quantum)
-            pad = target - T
-            if pad:
-                roles = [np.concatenate([r, np.repeat(r[-1:], pad, 0)], axis=0) for r in roles]
-                prompts = prompts + [prompts[-1]] * pad
+        # shared chunk policy + pre-flight HBM guard: a large T auto-chunks onto the scan
+        # path instead of first-compiling a monolithic over-budget graph (the round-4
+        # 96-triplet wedge class); explicit over-budget chunks are refused on the host
+        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size, scorer=self)
+        pad = n - T
+        if pad:
+            roles = [np.concatenate([r, np.repeat(r[-1:], pad, 0)], axis=0) for r in roles]
+            prompts = prompts + [prompts[-1]] * pad
         embeds_u, pidx = self._embeds_and_idx(prompts)
         sab, key = self._noise_consts(int(target_step), int(seed))
-        n = len(prompts)
-        if chunk is not None and n % chunk == 0 and n > chunk:
-            shape = (n // chunk, chunk)
+        if step < n:
+            shape = (n // step, step)
             fn = self._triplet_scan_fn(tap, similarity)
             s_ab, s_ac = fn(
                 self.params,

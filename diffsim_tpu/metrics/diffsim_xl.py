@@ -53,6 +53,10 @@ def sdxl_tap(target_block: str, target_layer, ip_adapter: bool = False) -> TapSp
 
 
 class DiffSimXL(ScorerBase):
+    # SDXL activations vs SD-1.5 at EQUAL resolution: 19.08 / 2.84 / 4 (tools/flops_ratio.py
+    # measured TFLOP/pair, xl@1024 vs sd15@512, divided by the 4x resolution factor)
+    hbm_scale = 1.7
+
     def __init__(
         self,
         params=None,
@@ -429,7 +433,7 @@ class DiffSimXL(ScorerBase):
         prompts = [prompt] * T if isinstance(prompt, str) else list(prompt)
         from diffsim_tpu.runtime.device_cache import resolve_cached_chunk
 
-        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size)
+        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size, scorer=self)
         pad = n - T
         if pad:
             idx3 = np.concatenate([idx3, np.repeat(idx3[-1:], pad, 0)], axis=0)
@@ -514,38 +518,39 @@ class DiffSimXL(ScorerBase):
         similarity: str = "cosine",
         seed: int = 2333,
         blocking: bool = True,
+        chunk: int | None = None,
     ):
+        from diffsim_tpu.runtime.device_cache import resolve_cached_chunk
+
         tap = sdxl_tap(target_block, target_layer, False)
         spec = schedulers.sdxl_noise_spec(target_step)
         T = pix_a.shape[0]
         transport = np.uint8 if pix_a.dtype == np.uint8 else self.dtype
         pix = np.stack([pix_a, pix_b, pix_c], axis=1).astype(transport)
         prompts = [prompt] * T if isinstance(prompt, str) else list(prompt)
-        pad = 0
-        if self.mesh is not None:
-            from diffsim_tpu.parallel import mesh as meshlib
-
-            target = meshlib.pad_to_multiple(T, meshlib.data_axis_size(self.mesh))
-            pad = target - T
-            if pad:
-                pix = np.concatenate([pix, np.repeat(pix[-1:], pad, 0)], axis=0)
-                prompts = prompts + [prompts[-1]] * pad
+        # shared chunk policy + pre-flight HBM guard (runtime.hbm_guard): large T is
+        # dispatched as step-sized launches (same host-level loop as the cached path)
+        # instead of first-compiling a monolithic over-budget graph
+        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size, scorer=self)
+        pad = n - T
+        if pad:
+            pix = np.concatenate([pix, np.repeat(pix[-1:], pad, 0)], axis=0)
+            prompts = prompts + [prompts[-1]] * pad
         enc = [self.encode_prompt(p) for p in prompts]
         embeds = np.stack([e for e, _ in enc])
         pooled = np.stack([p for _, p in enc])
         fn = self._triplet_fn(tap, similarity)
-        s_ab, s_ac = fn(
-            self.params,
-            jnp.asarray(pix),
-            embeds,
-            pooled,
-            (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b)),
-            jax.random.PRNGKey(int(seed)),
-        )
+        sab = (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b))
+        key = jax.random.PRNGKey(int(seed))
+        outs = [
+            fn(self.params, jnp.asarray(pix[i:i + step]), embeds[i:i + step],
+               pooled[i:i + step], sab, key)
+            for i in range(0, n, step)
+        ]
 
         def fetch():
-            a_ = np.asarray(jax.device_get(s_ab), np.float32)
-            c_ = np.asarray(jax.device_get(s_ac), np.float32)
+            a_ = np.concatenate([np.asarray(jax.device_get(o[0]), np.float32) for o in outs])
+            c_ = np.concatenate([np.asarray(jax.device_get(o[1]), np.float32) for o in outs])
             return (a_[:T], c_[:T]) if pad else (a_, c_)
 
         return fetch() if blocking else fetch

@@ -24,6 +24,10 @@ class ScorerBase:
     mesh = None
     dtype = None
     _ip = None  # set by enable_ip_adapter
+    # peak-activation multiplier vs the SD-1.5 calibration graph at equal resolution,
+    # consumed by runtime.hbm_guard's pre-flight budget (same-resolution FLOPs ratio
+    # from tools/flops_ratio.py compiled cost analysis)
+    hbm_scale = 1.0
 
     def _place(self, params):
         if self.mesh is None:

@@ -63,12 +63,15 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nk,
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))  # broadcast -> (bq, 128)
     centered = s - m_new[:, :1]
     if bf16_probs:
-        # fast mode (ops.attention.fast_softmax): exp/sum over the score tile in bf16 —
-        # same contract as the fused kernel's bf16_probs (f32 max keeps range safety)
-        centered = centered.astype(jnp.bfloat16).astype(jnp.float32)
-    p = jnp.exp(centered * scale)  # (bq, bk)
-    alpha = jnp.exp((m_prev - m_new) * scale)  # (bq, 128), lanes equal
-    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # fast mode (ops.attention.fast_softmax): exp and the tile rowsum run in bf16 —
+        # same contract as the fused kernel's bf16_probs (f32 max keeps range safety);
+        # the running l/acc recurrence stays in f32 scratch
+        centered = centered.astype(jnp.bfloat16)
+    p = jnp.exp(centered * scale)  # (bq, bk); bf16 in fast mode, f32 otherwise
+    alpha = jnp.exp((m_prev - m_new) * scale)  # (bq, 128), lanes equal, f32
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True).astype(
+        jnp.float32
+    )
     acc_ref[...] = acc_ref[...] * alpha[:, :1] + jnp.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )

@@ -80,7 +80,10 @@ class DeviceFeatureCache:
             # decode BEFORE any slot assignment: a rows_for failure (unreadable image) must
             # leave the cache map untouched, never pointing keys at unwritten rows
             rows = np.ascontiguousarray(rows_for(missing))
-            assert rows.shape[0] == len(missing), (rows.shape, len(missing))
+            if rows.shape[0] != len(missing):
+                raise ValueError(
+                    f"rows_for returned {rows.shape[0]} rows for {len(missing)} missing keys"
+                )
             self._scatter(missing, rows, pinned)
         return np.asarray([self._slot_of[k] for k in keys], np.int32)
 
@@ -184,24 +187,63 @@ def make_moment_cache(scorer, enc_dtype) -> DeviceFeatureCache:
     return DeviceFeatureCache(pool, update, cap, slab_quantum=quantum)
 
 
-def resolve_cached_chunk(mesh, t: int, chunk: int | None, img_size: int) -> tuple[int, int]:
-    """Chunking policy for the cached triplet dispatch, shared by the three scorers:
-    returns (step, padded_n). An explicit ``chunk`` must be a multiple of the mesh data
-    axis. When None, an HBM-safety default kicks in for large T: the known-good
-    24-triplet graph at 512px, scaled by resolution^2 (a monolithic 96-triplet graph
-    measured 21.05G against the 15.75G HBM) — production callers (runner batches, bench)
-    stay below it, so their single-graph dispatch is unchanged."""
+def resolve_cached_chunk(mesh, t: int, chunk: int | None, img_size: int,
+                         scorer=None) -> tuple[int, int]:
+    """Chunking policy for triplet dispatch (cached AND fresh paths), shared by the three
+    scorers: returns (step, padded_n). An explicit ``chunk`` must be a multiple of the mesh
+    data axis and — when ``scorer`` is given — is REFUSED before any compile if its graph
+    estimate exceeds the HBM budget (runtime.hbm_guard). When None, the auto default is the
+    known-good 24-triplet graph at 512px scaled by resolution^2 (a monolithic 96-triplet
+    graph measured 21.05G against the 15.75G HBM), further capped by the guard's analytic
+    budget — production callers (runner batches, bench) stay below it, so their
+    single-graph dispatch is unchanged."""
     from diffsim_tpu.parallel import mesh as meshlib
+    from diffsim_tpu.runtime import hbm_guard
 
     quantum = meshlib.data_axis_size(mesh) if mesh is not None else 1
+    safe = hbm_guard.max_triplets(scorer) if scorer is not None else None
+    if safe is not None:
+        safe_q = (safe // quantum) * quantum
+        if safe_q < quantum:
+            raise hbm_guard.HbmBudgetError(
+                f"even a minimal {quantum}-triplet graph at {img_size}px exceeds the HBM "
+                f"budget ({hbm_guard.budget_bytes() / 1e9:.2f} GB) — lower img_size, "
+                f"shrink the mesh data axis, or raise DIFFSIM_TPU_HBM_GB"
+            )
     if chunk is None:
         auto = meshlib.pad_to_multiple(max(1, int(24 * (512 / img_size) ** 2)), quantum)
+        if safe is not None:
+            auto = min(auto, safe_q)
         chunk = auto if t > auto else None
     if chunk is not None:
-        assert chunk % quantum == 0, (chunk, quantum)
+        if chunk % quantum != 0:
+            raise ValueError(
+                f"cached-path chunk {chunk} must be a multiple of the mesh data-axis "
+                f"size {quantum}"
+            )
+        if scorer is not None:
+            hbm_guard.check_chunk(scorer, chunk)
         quantum = chunk
+    elif scorer is not None:
+        hbm_guard.check_chunk(scorer, meshlib.pad_to_multiple(t, quantum))
     n = meshlib.pad_to_multiple(t, quantum)
     return (chunk if chunk is not None else n), n
+
+
+def image_key(path) -> tuple:
+    """Cache key for an image path: (fspath, st_mtime_ns, st_size) — same stale-file
+    rationale as ImageLoader's LRU key (core/image.py): a long-lived process (cli.serve)
+    that overwrites an image in place must not score stale cached moments. Unstattable
+    paths (synthetic keys in tests) degrade to (fspath, 0, 0). ``key[0]`` is always the
+    fspath, which is what row_map / loader / load_fn consume."""
+    import os as _os
+
+    p = _os.fspath(path)
+    try:
+        st = _os.stat(p)
+        return (p, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (p, 0, 0)
 
 
 def prewarm_missing(cache: DeviceFeatureCache, paths_roles, loader) -> int:
@@ -209,17 +251,15 @@ def prewarm_missing(cache: DeviceFeatureCache, paths_roles, loader) -> int:
     the loader's path-keyed LRU retains the arrays, so the later ensure() miss fill returns
     instantly). Called by the 2AFC runner for the NEXT chunk while the current one scores:
     first-touch decode overlaps device compute instead of serializing before dispatch."""
-    import os as _os
-
     seen = set()
     n = 0
     for role in paths_roles:
         for p in role:
-            k = _os.fspath(p)
+            k = image_key(p)
             if k in seen or k in cache:
                 continue
             seen.add(k)
-            loader.submit(k)
+            loader.submit(k[0])
             n += 1
     return n
 
@@ -232,24 +272,25 @@ def ensure_image_slots(cache: DeviceFeatureCache, paths_roles, pix_roles, loader
     already-decoded rows (benchmarks supply only first-occurrence keys there — no
     per-batch stacking of hit pixels), the threaded ``loader``, or ``load_fn(path) ->
     (1, H, W, 3) uint8``. Returns (T, 3) int32 slot indices [a, b, c] per triplet."""
-    import os as _os
-
     t = len(paths_roles[0])
-    keys = [_os.fspath(p) for role in paths_roles for p in role]
+    keys = [image_key(p) for role in paths_roles for p in role]
 
     rowsrc: dict = {}
     for role_paths, role_pix in zip(paths_roles, pix_roles):
         if role_pix is None:
             continue
-        assert role_pix.dtype == np.uint8, (
-            "the moment cache expects uint8 pixel transport (process_image_u8)"
-        )
+        if role_pix.dtype != np.uint8:
+            raise TypeError(
+                f"the moment cache expects uint8 pixel transport (process_image_u8), "
+                f"got {role_pix.dtype}"
+            )
         for i, p in enumerate(role_paths):
-            rowsrc.setdefault(_os.fspath(p), (role_pix, i))
+            rowsrc.setdefault(image_key(p)[0], (role_pix, i))
 
     def rows_for(missing):
         rows = []
-        for k in missing:
+        for key in missing:
+            k = key[0]  # fspath half of image_key
             hit = rowsrc.get(k)
             if hit is not None:
                 rows.append(hit[0][hit[1]])
@@ -262,10 +303,11 @@ def ensure_image_slots(cache: DeviceFeatureCache, paths_roles, pix_roles, loader
         # resolve loader futures (threaded decode) after all are submitted
         rows = [r.result()[0] if hasattr(r, "result") else r for r in rows]
         out = np.stack(rows)
-        assert out.dtype == np.uint8, (
-            f"moment-cache rows must be uint8 pixel transport (got {out.dtype}) — "
-            "pass a loader built with the u8 preprocess (process_image_u8)"
-        )
+        if out.dtype != np.uint8:
+            raise TypeError(
+                f"moment-cache rows must be uint8 pixel transport (got {out.dtype}) — "
+                "pass a loader built with the u8 preprocess (process_image_u8)"
+            )
         return out
 
     slots = cache.ensure(keys, rows_for)

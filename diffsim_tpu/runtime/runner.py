@@ -97,7 +97,6 @@ def run_2afc(
     """
     import os as _os
     log = ResultLog(out_path)
-    loader = loader or ImageLoader(img_size)
     report = Report()
 
     pending = [i for i in range(len(comparisons)) if i not in log.done]
@@ -118,6 +117,18 @@ def run_2afc(
             for i in pending for r in "abc"
         )
     )
+    if loader is None:
+        # In cached-path mode the loader feeds the moment cache, which requires uint8 pixel
+        # transport — the default float32 [-1,1] preprocess would raise in the adapter (or,
+        # under `python -O` historically, silently double-normalize). Build the right one.
+        if use_paths:
+            from diffsim_tpu.core.image import process_image_u8
+
+            loader = ImageLoader(
+                img_size, preprocess=lambda im: process_image_u8(im, img_size)
+            )
+        else:
+            loader = ImageLoader(img_size)
 
     mask_pool = None
     if mask_fn is not None:

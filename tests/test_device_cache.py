@@ -332,10 +332,12 @@ def test_prewarm_missing_submits_only_nonresident_unique():
     """Runner prewarm: the NEXT chunk's not-yet-cached unique paths get threaded decodes
     (futures dropped — the ImageLoader LRU retains the arrays); resident and duplicate
     paths are skipped."""
-    from diffsim_tpu.runtime.device_cache import prewarm_missing
+    from diffsim_tpu.runtime.device_cache import image_key, prewarm_missing
 
     cache, _ = _np_cache(8)
-    cache.ensure(["a", "b"], _rows_for)
+    # residency is keyed by image_key (fspath, mtime_ns, size) — seed with the same keys
+    # prewarm_missing computes (nonexistent paths degrade to (fspath, 0, 0))
+    cache.ensure([image_key("a"), image_key("b")], lambda ks: _rows_for([k[0] for k in ks]))
 
     class Loader:
         def __init__(self):
@@ -468,5 +470,45 @@ def test_resolve_cached_chunk_policy():
     assert resolve_cached_chunk(mesh, 5, None, 512) == (8, 8)
     step, n = resolve_cached_chunk(mesh, 200, None, 512)
     assert step == 24 and n == 216  # auto 24 is an 8-multiple
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         resolve_cached_chunk(mesh, 16, 6, 512)  # 6 not a multiple of the data axis
+
+
+def test_image_key_invalidates_on_overwrite(tmp_path):
+    """Advisor finding (round 4): moment-cache keys must carry mtime/size like ImageLoader's
+    LRU key (core/image.py) — a long-lived process (cli.serve) that overwrites an image in
+    place must re-encode it, not score stale cached moments."""
+    import os
+    import time
+
+    from diffsim_tpu.runtime.device_cache import ensure_image_slots, image_key
+
+    p = tmp_path / "img.bin"
+    p.write_bytes(b"v1")
+    k1 = image_key(p)
+    assert k1[0] == os.fspath(p) and k1[2] == 2
+
+    cache, calls = _np_cache(8, row_shape=(1, 1, 3))
+    decoded = []
+
+    def load_fn(path):
+        content = open(path, "rb").read()
+        decoded.append(content)
+        return np.full((1, 1, 1, 3), content[-1], np.uint8)
+
+    roles = ([p], [p], [p])
+    idx1 = ensure_image_slots(cache, roles, (None, None, None), None, load_fn)
+    assert len(decoded) == 1 and cache.stats["misses"] == 1
+
+    # same content, same stat -> hit, no decode
+    ensure_image_slots(cache, roles, (None, None, None), None, load_fn)
+    assert len(decoded) == 1 and cache.stats["hits"] >= 3
+
+    # overwrite in place (force a different mtime_ns/size) -> new key -> re-decoded
+    time.sleep(0.01)
+    p.write_bytes(b"v2-longer")
+    assert image_key(p) != k1
+    ensure_image_slots(cache, roles, (None, None, None), None, load_fn)
+    assert len(decoded) == 2 and decoded[-1] == b"v2-longer"
+    assert cache.stats["misses"] == 2
+    del idx1

@@ -7,9 +7,11 @@ naming, and dumps torch-computed ground truth for three layers of parity:
 
   1. VAE-encoder moments for a fixed pixel batch
   2. UNet eps + tap q/k/v at the canonical up tap for fixed latents/context/t
-  3. Full DiffSim scores for 20 image pairs with injected noise (the complete scoring
+  3. Full DiffSim scores for 64 image pairs with injected noise (the complete scoring
      semantics: encode -> sample -> q_sample -> CFG forward -> 4xSDPA readout,
-     /root/reference/diffsim/diffsim.py:171-197)
+     /root/reference/diffsim/diffsim.py:171-197) over a GRID of 3 tap sites x 2 target
+     steps x both similarities per backbone — so cross-framework Spearman parity does not
+     rest on a single config
 
 tests/test_torch_parity_tiny.py replays the same inputs through the converters + JAX models
 and asserts allclose / Spearman >= 0.99. Regenerate with:
@@ -27,8 +29,9 @@ import torch
 from tools.torch_mirror import TinyUNet, TinyVAEDecoder, TinyVAEEncoder, diffsim_score_pair
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures", "torch_parity_tiny.npz")
-N_PAIRS = 20
+N_PAIRS = 64
 IMG = 32
+SIMS = ("cosine", "mse")
 LAT = IMG // 2  # VAEConfig.tiny has one downsample
 CDIM = 32
 
