@@ -225,6 +225,29 @@ def test_streaming_attention_interpret_mode(monkeypatch):
     np.testing.assert_allclose(out, ref, atol=3e-5)
 
 
+def test_streaming_attention_bf16_probs_interpret_mode(monkeypatch):
+    """Fast mode (--bf16_softmax): exp and the tile rowsum run in bf16 with the running
+    l/acc recurrence in f32 scratch — same contract as the fused kernel's bf16_probs.
+    The output must track the f32-probs path within bf16 probability quantization."""
+    monkeypatch.setenv("DIFFSIM_TPU_PALLAS_INTERPRET", "1")
+    from diffsim_tpu.ops.attention import sdpa
+    from diffsim_tpu.ops.pallas.attention_stream import streaming_self_attention
+
+    rng = np.random.default_rng(5)
+    b, h, s, d = 1, 1, 2048, 256
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32) * 0.3
+               for _ in range(3))
+    fast = np.asarray(streaming_self_attention(q, k, v, bf16_probs=True))
+    exact = np.asarray(streaming_self_attention(q, k, v))
+    monkeypatch.delenv("DIFFSIM_TPU_PALLAS_INTERPRET")
+    assert np.isfinite(fast).all()
+    # bf16 has ~3 decimal digits: probabilities quantize at ~4e-3 relative, and the
+    # normalized output averages that error down
+    np.testing.assert_allclose(fast, exact, atol=5e-3)
+    np.testing.assert_allclose(fast, np.asarray(sdpa(q, k, v)), atol=5e-3)
+    assert np.abs(fast - exact).max() > 0  # the bf16 path is actually distinct
+
+
 def test_streaming_attention_routing_guards(monkeypatch):
     from diffsim_tpu.ops.pallas.attention_stream import use_streaming
 
