@@ -657,8 +657,11 @@ class DiffSimSD15(ScorerBase):
         ``noise_override``: (eps_vae, eps_noise), each (2, h, w, latent_c) per-role arrays
         replacing the seed-derived draws — the cross-framework parity mode where torch and
         JAX consume identical noise (SURVEY.md "PRNG parity")."""
+        from diffsim_tpu.runtime import hbm_guard
+
         tap = sd15_tap(target_block, target_layer, ip_adapter, fix_layer_collapse, text_attn)
         P = pix_a.shape[0]
+        hbm_guard.check_pairs(self, P)  # refuse over-budget graphs before building them
         transport_dtype = np.uint8 if pix_a.dtype == np.uint8 else self.dtype
         roles = [np.asarray(p).astype(transport_dtype, copy=False) for p in (pix_a, pix_b)]
         prompts = [prompt] * P if isinstance(prompt, str) else list(prompt)

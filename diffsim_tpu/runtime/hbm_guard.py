@@ -100,3 +100,21 @@ def check_chunk(scorer, chunk: int) -> None:
             f"({MARGIN:.0%} usable) — pass a smaller chunk=, lower img_size, or raise "
             f"DIFFSIM_TPU_HBM_GB if this part has more memory"
         )
+
+
+def check_pairs(scorer, n_pairs: int) -> None:
+    """Pair-path pre-flight: a pair is 2 images / 4 CFG forwards = 2/3 of a triplet's
+    graph (3 images / 6 forwards). The pair paths have no scan dispatch, so an over-budget
+    P is refused outright with the batch-size remedy."""
+    budget = budget_bytes()
+    if budget <= 0:
+        return
+    per = per_triplet_bytes(scorer.img_size, getattr(scorer, "hbm_scale", 1.0)) * (2 / 3)
+    est = scorer_static_bytes(scorer) + per * n_pairs
+    if est > budget * MARGIN:
+        raise HbmBudgetError(
+            f"a {n_pairs}-pair graph at {scorer.img_size}px is estimated at "
+            f"{est / 1e9:.2f} GB against a {budget / 1e9:.2f} GB HBM budget "
+            f"({MARGIN:.0%} usable) — score in smaller batches (the 2AFC runner's "
+            f"--batch_size), or raise DIFFSIM_TPU_HBM_GB if this part has more memory"
+        )

@@ -141,6 +141,20 @@ def test_fresh_triplet_path_autochunks_under_budget(tiny_scorer, monkeypatch):
     np.testing.assert_allclose(ref_ac, g_ac, atol=2e-6)
 
 
+def test_pair_path_refused_over_budget(tiny_scorer, monkeypatch):
+    """score_batch (no scan dispatch) refuses an over-budget P outright, pre-compile;
+    a pair costs 2/3 of a triplet in the estimate."""
+    per_pair = hbm_guard.per_triplet_bytes(32) * (2 / 3)
+    budget = (hbm_guard.scorer_static_bytes(tiny_scorer) + 4.5 * per_pair) / hbm_guard.MARGIN
+    monkeypatch.setenv("DIFFSIM_TPU_HBM_GB", str(budget / 1e9))
+    a, b = _pix(7, 8), _pix(8, 8)
+    with pytest.raises(HbmBudgetError, match="8-pair graph at 32px"):
+        tiny_scorer.score_batch(a, b, prompt="p", target_step=600)
+    # within budget still scores
+    s = tiny_scorer.score_batch(a[:4], b[:4], prompt="p", target_step=600)
+    assert s.shape == (4,)
+
+
 def test_fresh_triplet_explicit_oversize_chunk_refused_precompile(tiny_scorer, monkeypatch):
     a, b, c = _pix(4, 8), _pix(5, 8), _pix(6, 8)
     per = hbm_guard.per_triplet_bytes(32)
