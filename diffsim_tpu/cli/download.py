@@ -43,7 +43,12 @@ def download_model(model_name: str, root: str = "pretrained_models") -> str:
         tmp = local_path + ".part"
         try:
             print(f"downloading {url} -> {local_path}")
-            urllib.request.urlretrieve(url, tmp)
+            # explicit socket timeout: a blackholed network must raise (and show the
+            # out-of-band remedy below), not hang forever in connect/recv
+            import shutil
+
+            with urllib.request.urlopen(url, timeout=60) as resp, open(tmp, "wb") as f:
+                shutil.copyfileobj(resp, f)
             os.replace(tmp, local_path)
         except (urllib.error.URLError, OSError) as e:
             if os.path.exists(tmp):

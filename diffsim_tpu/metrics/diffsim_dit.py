@@ -28,7 +28,8 @@ from diffsim_tpu.ops.taps import QKV, TapSpec
 
 
 class DiffSimDiT(ScorerBase):
-    # DiT-XL/2 vs SD-1.5 at 512px: 3.22 / 2.84 TFLOP/pair (tools/flops_ratio.py)
+    # DiT-XL/2 vs SD-1.5 at 512px: 3.22 / 2.84 = 1.13 TFLOP/pair (tools/flops_ratio.py),
+    # deployed rounded UP (hbm_guard's convention for the activation-scale constants)
     hbm_scale = 1.15
 
     def __init__(
@@ -253,8 +254,9 @@ class DiffSimDiT(ScorerBase):
                 for i in range(0, n, step)]
 
         def fetch():
-            a_ = np.concatenate([np.asarray(jax.device_get(o[0]), np.float32) for o in outs])
-            c_ = np.concatenate([np.asarray(jax.device_get(o[1]), np.float32) for o in outs])
+            got = jax.device_get(outs)  # one relay round-trip for all chunks
+            a_ = np.concatenate([np.asarray(o[0], np.float32) for o in got])
+            c_ = np.concatenate([np.asarray(o[1], np.float32) for o in got])
             return (a_[:T], c_[:T]) if pad else (a_, c_)
 
         return fetch() if blocking else fetch
@@ -324,7 +326,8 @@ class DiffSimDiT(ScorerBase):
         pix = np.stack([pix_a, pix_b, pix_c], axis=1).astype(transport)
         # shared chunk policy + pre-flight HBM guard (runtime.hbm_guard): large T is
         # dispatched as step-sized launches instead of one over-budget monolith
-        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size, scorer=self)
+        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size, scorer=self,
+                                       arg_itemsize=np.dtype(transport).itemsize)
         pad = n - T
         if pad:
             pix = np.concatenate([pix, np.repeat(pix[-1:], pad, 0)], axis=0)
@@ -335,8 +338,9 @@ class DiffSimDiT(ScorerBase):
                 for i in range(0, n, step)]
 
         def fetch():
-            a_ = np.concatenate([np.asarray(jax.device_get(o[0]), np.float32) for o in outs])
-            c_ = np.concatenate([np.asarray(jax.device_get(o[1]), np.float32) for o in outs])
+            got = jax.device_get(outs)  # one relay round-trip for all chunks
+            a_ = np.concatenate([np.asarray(o[0], np.float32) for o in got])
+            c_ = np.concatenate([np.asarray(o[1], np.float32) for o in got])
             return (a_[:T], c_[:T]) if pad else (a_, c_)
 
         return fetch() if blocking else fetch

@@ -595,7 +595,8 @@ class DiffSimSD15(ScorerBase):
         # shared chunk policy + pre-flight HBM guard: a large T auto-chunks onto the scan
         # path instead of first-compiling a monolithic over-budget graph (the round-4
         # 96-triplet wedge class); explicit over-budget chunks are refused on the host
-        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size, scorer=self)
+        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size, scorer=self,
+                                       arg_itemsize=np.dtype(transport).itemsize)
         pad = n - T
         if pad:
             roles = [np.concatenate([r, np.repeat(r[-1:], pad, 0)], axis=0) for r in roles]
@@ -661,8 +662,11 @@ class DiffSimSD15(ScorerBase):
 
         tap = sd15_tap(target_block, target_layer, ip_adapter, fix_layer_collapse, text_attn)
         P = pix_a.shape[0]
-        hbm_guard.check_pairs(self, P)  # refuse over-budget graphs before building them
         transport_dtype = np.uint8 if pix_a.dtype == np.uint8 else self.dtype
+        # refuse over-budget graphs (at the PADDED size the mesh compiles) pre-build
+        quantum = meshlib.data_axis_size(self.mesh) if self.mesh is not None else 1
+        hbm_guard.check_pairs(self, meshlib.pad_to_multiple(P, quantum),
+                              np.dtype(transport_dtype).itemsize)
         roles = [np.asarray(p).astype(transport_dtype, copy=False) for p in (pix_a, pix_b)]
         prompts = [prompt] * P if isinstance(prompt, str) else list(prompt)
         assert len(prompts) == P, (len(prompts), P)

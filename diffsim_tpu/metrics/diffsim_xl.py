@@ -449,8 +449,9 @@ class DiffSimXL(ScorerBase):
         ]
 
         def fetch():
-            a_ = np.concatenate([np.asarray(jax.device_get(o[0]), np.float32) for o in outs])
-            c_ = np.concatenate([np.asarray(jax.device_get(o[1]), np.float32) for o in outs])
+            got = jax.device_get(outs)  # one relay round-trip for all chunks
+            a_ = np.concatenate([np.asarray(o[0], np.float32) for o in got])
+            c_ = np.concatenate([np.asarray(o[1], np.float32) for o in got])
             return (a_[:T], c_[:T]) if pad else (a_, c_)
 
         return fetch() if blocking else fetch
@@ -531,7 +532,8 @@ class DiffSimXL(ScorerBase):
         # shared chunk policy + pre-flight HBM guard (runtime.hbm_guard): large T is
         # dispatched as step-sized launches (same host-level loop as the cached path)
         # instead of first-compiling a monolithic over-budget graph
-        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size, scorer=self)
+        step, n = resolve_cached_chunk(self.mesh, T, chunk, self.img_size, scorer=self,
+                                       arg_itemsize=np.dtype(transport).itemsize)
         pad = n - T
         if pad:
             pix = np.concatenate([pix, np.repeat(pix[-1:], pad, 0)], axis=0)
@@ -549,8 +551,9 @@ class DiffSimXL(ScorerBase):
         ]
 
         def fetch():
-            a_ = np.concatenate([np.asarray(jax.device_get(o[0]), np.float32) for o in outs])
-            c_ = np.concatenate([np.asarray(jax.device_get(o[1]), np.float32) for o in outs])
+            got = jax.device_get(outs)  # one relay round-trip for all chunks
+            a_ = np.concatenate([np.asarray(o[0], np.float32) for o in got])
+            c_ = np.concatenate([np.asarray(o[1], np.float32) for o in got])
             return (a_[:T], c_[:T]) if pad else (a_, c_)
 
         return fetch() if blocking else fetch

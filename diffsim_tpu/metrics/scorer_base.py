@@ -36,12 +36,15 @@ class ScorerBase:
 
     def _pad_pairs(self, pix_a: np.ndarray, pix_b: np.ndarray, prompts: list[str] | None):
         """Stack to (P, 2, H, W, C) in the transport dtype and pad P to the data-axis size.
-        Pre-flight HBM guard: an over-budget P is refused before any graph is built."""
+        Pre-flight HBM guard: an over-budget P (at its PADDED size — the graph the mesh
+        actually compiles) is refused before any graph is built."""
         from diffsim_tpu.runtime import hbm_guard
 
         P = pix_a.shape[0]
-        hbm_guard.check_pairs(self, P)
         transport = np.uint8 if pix_a.dtype == np.uint8 else self.dtype
+        quantum = meshlib.data_axis_size(self.mesh) if self.mesh is not None else 1
+        hbm_guard.check_pairs(self, meshlib.pad_to_multiple(P, quantum),
+                              np.dtype(transport).itemsize)
         pix = np.stack([pix_a, pix_b], axis=1).astype(transport)
         pad = 0
         if self.mesh is not None:

@@ -188,7 +188,7 @@ def make_moment_cache(scorer, enc_dtype) -> DeviceFeatureCache:
 
 
 def resolve_cached_chunk(mesh, t: int, chunk: int | None, img_size: int,
-                         scorer=None) -> tuple[int, int]:
+                         scorer=None, arg_itemsize: int = 0) -> tuple[int, int]:
     """Chunking policy for triplet dispatch (cached AND fresh paths), shared by the three
     scorers: returns (step, padded_n). An explicit ``chunk`` must be a multiple of the mesh
     data axis and — when ``scorer`` is given — is REFUSED before any compile if its graph
@@ -196,19 +196,29 @@ def resolve_cached_chunk(mesh, t: int, chunk: int | None, img_size: int,
     known-good 24-triplet graph at 512px scaled by resolution^2 (a monolithic 96-triplet
     graph measured 21.05G against the 15.75G HBM), further capped by the guard's analytic
     budget — production callers (runner batches, bench) stay below it, so their
-    single-graph dispatch is unchanged."""
+    single-graph dispatch is unchanged.
+
+    ``arg_itemsize``: pixel transport itemsize for FRESH dispatches (uint8 -> 1), where
+    the whole padded batch's input buffers are device-resident before the first fetch —
+    chunking bounds activations, not arguments, so the guard budgets both. Cached
+    dispatches pass 0 (arguments are int32 slot indices)."""
     from diffsim_tpu.parallel import mesh as meshlib
     from diffsim_tpu.runtime import hbm_guard
 
     quantum = meshlib.data_axis_size(mesh) if mesh is not None else 1
-    safe = hbm_guard.max_triplets(scorer) if scorer is not None else None
+    n_total = meshlib.pad_to_multiple(t, quantum)
+    safe = (hbm_guard.max_triplets(scorer, n_total, arg_itemsize)
+            if scorer is not None else None)
     if safe is not None:
         safe_q = (safe // quantum) * quantum
         if safe_q < quantum:
+            args_gb = n_total * hbm_guard.triplet_arg_bytes(img_size, arg_itemsize) / 1e9
             raise hbm_guard.HbmBudgetError(
-                f"even a minimal {quantum}-triplet graph at {img_size}px exceeds the HBM "
-                f"budget ({hbm_guard.budget_bytes() / 1e9:.2f} GB) — lower img_size, "
-                f"shrink the mesh data axis, or raise DIFFSIM_TPU_HBM_GB"
+                f"even a minimal {quantum}-triplet graph at {img_size}px (batch {n_total}"
+                f", {args_gb:.2f} GB resident pixel arguments) exceeds the HBM budget "
+                f"({hbm_guard.budget_bytes() / 1e9:.2f} GB) — score in smaller batches, "
+                f"use the cached path (score_triplet_paths), lower img_size, or raise "
+                f"DIFFSIM_TPU_HBM_GB"
             )
     if chunk is None:
         auto = meshlib.pad_to_multiple(max(1, int(24 * (512 / img_size) ** 2)), quantum)
@@ -221,12 +231,11 @@ def resolve_cached_chunk(mesh, t: int, chunk: int | None, img_size: int,
                 f"cached-path chunk {chunk} must be a multiple of the mesh data-axis "
                 f"size {quantum}"
             )
-        if scorer is not None:
-            hbm_guard.check_chunk(scorer, chunk)
         quantum = chunk
-    elif scorer is not None:
-        hbm_guard.check_chunk(scorer, meshlib.pad_to_multiple(t, quantum))
     n = meshlib.pad_to_multiple(t, quantum)
+    if scorer is not None and chunk is not None:
+        # n (padded to the chunk multiple) is the true argument residency
+        hbm_guard.check_chunk(scorer, chunk, n, arg_itemsize)
     return (chunk if chunk is not None else n), n
 
 
@@ -272,6 +281,8 @@ def ensure_image_slots(cache: DeviceFeatureCache, paths_roles, pix_roles, loader
     already-decoded rows (benchmarks supply only first-occurrence keys there — no
     per-batch stacking of hit pixels), the threaded ``loader``, or ``load_fn(path) ->
     (1, H, W, 3) uint8``. Returns (T, 3) int32 slot indices [a, b, c] per triplet."""
+    import os as _os
+
     t = len(paths_roles[0])
     keys = [image_key(p) for role in paths_roles for p in role]
 
@@ -285,7 +296,8 @@ def ensure_image_slots(cache: DeviceFeatureCache, paths_roles, pix_roles, loader
                 f"got {role_pix.dtype}"
             )
         for i, p in enumerate(role_paths):
-            rowsrc.setdefault(image_key(p)[0], (role_pix, i))
+            # bare fspath (no stat): rows_for looks rowsrc up by key[0]
+            rowsrc.setdefault(_os.fspath(p), (role_pix, i))
 
     def rows_for(missing):
         rows = []

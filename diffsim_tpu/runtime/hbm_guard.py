@@ -12,16 +12,23 @@ HOST before building or compiling a graph, auto-chunks under the budget, and REF
 explicit over-budget chunk with a clear error instead of handing XLA an unallocatable
 program. The check is pure host arithmetic — a rejected shape never touches the device.
 
-Estimate = static + per_triplet * n_triplets:
+Estimate = static + args + per_triplet * chunk:
 * static is EXACT for its two dominant terms — the scorer's parameter tree and the
   device-resident moment pool are real arrays whose nbytes we sum — plus a fixed reserve
   for embed tables, the cache's update-slab programs, and XLA workspace.
+* args is the pixel-argument residency of the FULL batch (fresh paths only): the SD-1.5
+  scan program takes all padded-n triplets as one argument, and the XL/DiT host loops
+  enqueue every chunk's transfer before the first fetch, so chunking bounds activations
+  but NOT input buffers. Cached-path arguments are int32 slot indices (negligible; the
+  pool is already in static).
 * per_triplet is analytic, calibrated on the one hard measurement we have: the 96-triplet
   512px fresh graph peaked at 21.05 GB with ~2.8 GB static -> ~190 MB/triplet, rounded up
   to 200 MB. It scales with (img_size/512)^2 (activations are spatial) and a per-backbone
-  ``hbm_scale`` (same-resolution FLOPs ratio vs SD-1.5, from tools/flops_ratio.py compiled
-  cost analysis: SDXL 19.08/2.84/4 ~= 1.7x at equal resolution, DiT-XL/2 1.13x).
-  The fresh-graph calibration upper-bounds the cached graph (which skips the VAE encode).
+  ``hbm_scale`` — the same-resolution FLOPs ratio vs SD-1.5 from tools/flops_ratio.py
+  compiled cost analysis, rounded UP when deployed (measured SDXL 19.08/2.84/4 = 1.68 ->
+  deployed 1.7; measured DiT-XL/2 3.22/2.84 = 1.13 -> deployed 1.15). The fresh-graph
+  calibration upper-bounds the cached graph (which skips the VAE encode). Recalibrate
+  against XLA's own numbers with tools/hbm_report.py when a chip is attached.
 * MARGIN keeps 15% of the budget free for fragmentation, donation timing, and in-flight
   async batches.
 
@@ -75,42 +82,56 @@ def scorer_static_bytes(scorer) -> float:
     return static
 
 
-def max_triplets(scorer) -> int | None:
-    """Largest triplet count whose estimated graph fits the budget; None = guard disabled.
-    0 means even one triplet does not fit (caller raises with remediation)."""
+def triplet_arg_bytes(img_size: int, itemsize: int) -> int:
+    """Pixel-argument bytes one triplet contributes to a FRESH dispatch (3 role images).
+    uint8 transport (the production default) -> itemsize 1."""
+    return 3 * img_size * img_size * 3 * itemsize
+
+
+def max_triplets(scorer, n_total: int = 0, arg_itemsize: int = 0) -> int | None:
+    """Largest per-graph triplet count whose estimate fits the budget; None = guard
+    disabled. 0 means nothing fits (caller raises with remediation). For fresh dispatches
+    pass the FULL batch ``n_total`` and the pixel transport ``arg_itemsize``: all input
+    buffers are device-resident before the first fetch regardless of chunking."""
     budget = budget_bytes()
     if budget <= 0:
         return None
-    avail = budget * MARGIN - scorer_static_bytes(scorer)
+    avail = (budget * MARGIN - scorer_static_bytes(scorer)
+             - n_total * triplet_arg_bytes(scorer.img_size, arg_itemsize))
     per = per_triplet_bytes(scorer.img_size, getattr(scorer, "hbm_scale", 1.0))
     return max(0, int(avail // per))
 
 
-def check_chunk(scorer, chunk: int) -> None:
+def check_chunk(scorer, chunk: int, n_total: int = 0, arg_itemsize: int = 0) -> None:
     """Refuse an explicit chunk whose graph estimate exceeds the budget (pre-compile)."""
     budget = budget_bytes()
     if budget <= 0:
         return
     per = per_triplet_bytes(scorer.img_size, getattr(scorer, "hbm_scale", 1.0))
-    est = scorer_static_bytes(scorer) + per * chunk
+    args = n_total * triplet_arg_bytes(scorer.img_size, arg_itemsize)
+    est = scorer_static_bytes(scorer) + args + per * chunk
     if est > budget * MARGIN:
         raise HbmBudgetError(
-            f"a {chunk}-triplet graph at {scorer.img_size}px is estimated at "
+            f"a {chunk}-triplet graph at {scorer.img_size}px (batch {n_total or chunk}, "
+            f"{args / 1e9:.2f} GB resident pixel arguments) is estimated at "
             f"{est / 1e9:.2f} GB against a {budget / 1e9:.2f} GB HBM budget "
-            f"({MARGIN:.0%} usable) — pass a smaller chunk=, lower img_size, or raise "
+            f"({MARGIN:.0%} usable) — pass a smaller chunk= / score in smaller batches, "
+            f"use the cached path (score_triplet_paths), lower img_size, or raise "
             f"DIFFSIM_TPU_HBM_GB if this part has more memory"
         )
 
 
-def check_pairs(scorer, n_pairs: int) -> None:
+def check_pairs(scorer, n_pairs: int, arg_itemsize: int = 0) -> None:
     """Pair-path pre-flight: a pair is 2 images / 4 CFG forwards = 2/3 of a triplet's
-    graph (3 images / 6 forwards). The pair paths have no scan dispatch, so an over-budget
-    P is refused outright with the batch-size remedy."""
+    graph (3 images / 6 forwards). ``n_pairs`` must be the PADDED count the graph is
+    actually built for. The pair paths have no scan dispatch, so an over-budget P is
+    refused outright with the batch-size remedy."""
     budget = budget_bytes()
     if budget <= 0:
         return
     per = per_triplet_bytes(scorer.img_size, getattr(scorer, "hbm_scale", 1.0)) * (2 / 3)
-    est = scorer_static_bytes(scorer) + per * n_pairs
+    args = n_pairs * 2 * scorer.img_size * scorer.img_size * 3 * arg_itemsize
+    est = scorer_static_bytes(scorer) + args + per * n_pairs
     if est > budget * MARGIN:
         raise HbmBudgetError(
             f"a {n_pairs}-pair graph at {scorer.img_size}px is estimated at "

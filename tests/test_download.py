@@ -35,15 +35,27 @@ def test_download_model_rejects_unknown_name(tmp_path):
 
 
 def test_pretrained_name_downloads_once_then_caches(tmp_path, monkeypatch):
+    import io
+
     calls = []
 
-    def fake_retrieve(url, dst):
+    class _CtxBytes(io.BytesIO):  # urlopen responses are context managers
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(url, timeout=None):
         calls.append(url)
-        torch.save({"ema": {"w": torch.full((1,), 7.0)}}, dst)
+        assert timeout is not None  # a blackholed network must raise, not hang
+        buf = io.BytesIO()
+        torch.save({"ema": {"w": torch.full((1,), 7.0)}}, buf)
+        return _CtxBytes(buf.getvalue())
 
     import urllib.request
 
-    monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
     name = "DiT-XL-2-256x256.pt"
     got = download.find_model(name, root=str(tmp_path / "pretrained_models"))
     assert calls == [f"{download.WEB_ROOT}/{name}"]
@@ -59,10 +71,10 @@ def test_offline_failure_names_url_and_drop_path(tmp_path, monkeypatch):
     import urllib.error
     import urllib.request
 
-    def fail(url, dst):
+    def fail(url, timeout=None):
         raise urllib.error.URLError("no route to host")
 
-    monkeypatch.setattr(urllib.request, "urlretrieve", fail)
+    monkeypatch.setattr(urllib.request, "urlopen", fail)
     name = "DiT-XL-2-512x512.pt"
     with pytest.raises(RuntimeError) as ei:
         download.download_model(name, root=str(tmp_path))

@@ -71,6 +71,25 @@ def test_auto_chunk_capped_by_budget_below_heuristic(monkeypatch):
     assert step == 4 and n % 4 == 0
 
 
+def test_fresh_batch_argument_residency_budgeted(monkeypatch):
+    """Chunking bounds activations but NOT input buffers (the scan program takes the whole
+    padded batch; the XL/DiT loops enqueue every chunk's transfer before the first fetch).
+    A batch whose pixel arguments alone exceed HBM must be refused outright — auto-chunking
+    cannot save it."""
+    monkeypatch.delenv("DIFFSIM_TPU_HBM_GB", raising=False)
+    sc = _fake_scorer()
+    # NIGHTS-scale fresh batch at f32 transport: 2120 * 3 * 512^2 * 3 * 4 B ~= 20 GB of
+    # arguments against the 15.75 GB default budget
+    with pytest.raises(HbmBudgetError, match="resident pixel arguments"):
+        resolve_cached_chunk(None, 2120, None, 512, scorer=sc, arg_itemsize=4)
+    # the same batch in uint8 transport (~5 GB of arguments) fits with auto-chunking
+    step, n = resolve_cached_chunk(None, 2120, None, 512, scorer=sc, arg_itemsize=1)
+    assert step <= 24 and n >= 2120
+    # and the cached path (slot-index arguments) is unaffected at any T
+    step, n = resolve_cached_chunk(None, 2120, None, 512, scorer=sc)
+    assert step <= 24
+
+
 def test_budget_too_small_for_mesh_quantum_raises(monkeypatch):
     sc = _fake_scorer()
     per = hbm_guard.per_triplet_bytes(512)
