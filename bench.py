@@ -76,6 +76,40 @@ class ReuseWorkload:
         return paths, row_map
 
 
+def _preflight_devices(timeout_s: float = 300.0):
+    """Initialize the backend under a watchdog: a wedged relay makes jax.devices() HANG
+    (not raise — the round-4 failure mode), which would stall the driver's whole bench
+    slot. On hang or error, emit a self-describing JSON line and exit 1 so the capture
+    records an environment failure, not a silent timeout."""
+    import threading
+
+    import jax
+
+    box = {}
+
+    def probe():
+        try:
+            box["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report any backend-init failure
+            box["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in box:
+        return box["devices"]
+    import os
+
+    err = box.get("error", f"jax.devices() hung for {timeout_s:.0f}s (wedged relay)")
+    print(json.dumps({
+        "metric": "sd15_diffsim_pairs_per_sec_per_chip_512px",
+        "value": None,
+        "unit": "pairs/s/chip",
+        "error": f"TPU backend unavailable: {err}",
+    }))
+    os._exit(1)
+
+
 def main():
     import jax
 
@@ -86,6 +120,7 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+    _preflight_devices()
 
     from diffsim_tpu.metrics.diffsim_sd15 import DiffSimSD15
     from diffsim_tpu.parallel import mesh as meshlib
