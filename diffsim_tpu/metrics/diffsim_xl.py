@@ -380,6 +380,36 @@ class DiffSimXL(ScorerBase):
                                       out_shardings=(ds, ds))
         return jax.jit(fn)
 
+    @functools.lru_cache(maxsize=16)
+    def _cached_triplet_scan_fn(self, tap: TapSpec, similarity: str):
+        """Scan-chunked variant of _cached_triplet_fn: the whole window is ONE jitted
+        program — one launch + one fetch instead of one per chunk (the relay charges
+        ~0.5 s latency per launch/fetch, which dominated the XL@1024 cached window at
+        4-6 chunks). Numerically identical to the host-loop dispatch: noise draws are
+        per-role, shared across chunks."""
+        tail = self._triplet_tail(tap, similarity)
+
+        def fn(params, pool, idx3, embeds_u, pooled_u, pidx, noise_sab, key):
+            # idx3 (N, chunk, 3); pidx (N, chunk)
+            def step(_, xs):
+                ix, pi = xs
+                return None, tail(params, pool[ix], embeds_u[pi], pooled_u[pi],
+                                  noise_sab, key)
+
+            _, out = jax.lax.scan(step, None, (idx3, pidx))
+            return out
+
+        if self.mesh is not None:
+            from diffsim_tpu.parallel import mesh as meshlib
+
+            cs = jax.sharding.NamedSharding(self.mesh,
+                                            jax.sharding.PartitionSpec(None, "data"))
+            rs = meshlib.replicated(self.mesh)
+            return meshlib.kernel_jit(fn, self.mesh,
+                                      in_shardings=(rs, rs, cs, rs, rs, cs, rs, rs),
+                                      out_shardings=(cs, cs))
+        return jax.jit(fn)
+
     def _embeds_and_idx(self, prompts):
         """Unique-prompt tables ((U,2,77,hid), (U,2,proj)) + per-item int32 index —
         benchmarks reuse a handful of prompts across thousands of comparisons, so the
@@ -441,18 +471,20 @@ class DiffSimXL(ScorerBase):
         embeds_u, pooled_u, pidx = self._embeds_and_idx(prompts)
         sab = (jnp.float32(spec.model_t), jnp.float32(spec.a), jnp.float32(spec.b))
         key = jax.random.PRNGKey(int(seed))
-        fn = self._cached_triplet_fn(tap, similarity)
-        outs = [
-            fn(self.params, cache.pool, idx3[i:i + step], embeds_u, pooled_u,
-               pidx[i:i + step], sab, key)
-            for i in range(0, n, step)
-        ]
+        if step < n:
+            shape = (n // step, step)
+            fn = self._cached_triplet_scan_fn(tap, similarity)
+            s_ab, s_ac = fn(self.params, cache.pool, idx3.reshape(shape + (3,)),
+                            embeds_u, pooled_u, pidx.reshape(shape), sab, key)
+        else:
+            fn = self._cached_triplet_fn(tap, similarity)
+            s_ab, s_ac = fn(self.params, cache.pool, idx3, embeds_u, pooled_u, pidx,
+                            sab, key)
 
         def fetch():
-            got = jax.device_get(outs)  # one relay round-trip for all chunks
-            a_ = np.concatenate([np.asarray(o[0], np.float32) for o in got])
-            c_ = np.concatenate([np.asarray(o[1], np.float32) for o in got])
-            return (a_[:T], c_[:T]) if pad else (a_, c_)
+            out_ab, out_ac = (np.asarray(o, np.float32).reshape(-1)
+                              for o in jax.device_get((s_ab, s_ac)))
+            return (out_ab[:T], out_ac[:T]) if pad else (out_ab, out_ac)
 
         return fetch() if blocking else fetch
 

@@ -318,6 +318,39 @@ def test_dit_score_triplet_paths_matches_fresh_encode(tmp_path):
     np.testing.assert_allclose(s_ac, f_ac, atol=2e-6)
 
 
+def test_xl_cached_scan_chunks_match_monolithic(tmp_path):
+    """XL cached path with chunk= dispatches ONE scan program (one launch + one fetch per
+    window, not one per chunk); scores must match the monolithic graph up to fusion-order
+    rounding."""
+    scorer = _xl_scorer()
+    paths = _image_files(tmp_path, 6)
+    pa, pb, pc = paths[0:2] * 2, paths[2:4] * 2, paths[4:6] * 2
+    kw = dict(prompt="p", target_step=900)
+    mono = scorer.score_triplet_paths(pa, pb, pc, **kw)
+    chunked = scorer.score_triplet_paths(pa, pb, pc, chunk=2, **kw)
+    np.testing.assert_allclose(mono[0], chunked[0], atol=2e-6)
+    np.testing.assert_allclose(mono[1], chunked[1], atol=2e-6)
+
+
+def test_dit_cached_scan_chunks_match_monolithic(tmp_path):
+    from diffsim_tpu.metrics.diffsim_dit import DiffSimDiT
+    from diffsim_tpu.models import dit as dit_mod
+
+    scorer = DiffSimDiT(
+        dit_cfg=dit_mod.DiTConfig.tiny(input_size=16, num_classes=1000),
+        vae_cfg=vae.VAEConfig.tiny(),
+        img_size=32,
+        dtype=np.float32,
+    )
+    paths = _image_files(tmp_path, 6)
+    pa, pb, pc = paths[0:2] * 2, paths[2:4] * 2, paths[4:6] * 2
+    kw = dict(target_layer=0, target_step=600)
+    mono = scorer.score_triplet_paths(pa, pb, pc, **kw)
+    chunked = scorer.score_triplet_paths(pa, pb, pc, chunk=2, **kw)
+    np.testing.assert_allclose(mono[0], chunked[0], atol=2e-6)
+    np.testing.assert_allclose(mono[1], chunked[1], atol=2e-6)
+
+
 def test_xl_cached_path_on_mesh_matches_single_device(tmp_path):
     paths = _image_files(tmp_path, 6)
     pa, pb, pc = paths[0:2], paths[2:4], paths[4:6]
