@@ -113,14 +113,10 @@ def main():
     pa, pb, pc = imgs[:T], imgs[T:2 * T], imgs[2 * T:]
 
     def score_chunked(scorer):
-        # BATCH-triplet chunks: one T-sized graph OOMs HBM (measured 21.05G/15.75G at T=96)
-        fetches = [
-            scorer.score_triplet_batch(pa[i:i + BATCH], pb[i:i + BATCH], pc[i:i + BATCH],
-                                       blocking=False, **kwargs)
-            for i in range(0, T, BATCH)
-        ]
-        outs = [f() for f in fetches]
-        return (np.concatenate([o[0] for o in outs]), np.concatenate([o[1] for o in outs]))
+        # One T-sized monolith OOMs HBM (measured 21.05G/15.75G at T=96). The guarded
+        # dispatch (runtime/hbm_guard.py) now auto-chunks this onto the scan path — one
+        # launch + one fetch for the whole batch, peak activations bounded by the chunk.
+        return scorer.score_triplet_batch(pa, pb, pc, **kwargs)
 
     ca, cc = score_chunked(canonical)
     fa, fc = score_chunked(fast)
