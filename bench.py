@@ -101,12 +101,15 @@ def _preflight_devices(timeout_s: float = 300.0):
     import os
 
     err = box.get("error", f"jax.devices() hung for {timeout_s:.0f}s (wedged relay)")
+    # flush=True: os._exit skips atexit AND stdio buffer flushing — without it the error
+    # line is lost whenever stdout is a pipe (block-buffered), which is exactly how the
+    # driver and tools/run_bench_queue.sh capture this output
     print(json.dumps({
         "metric": "sd15_diffsim_pairs_per_sec_per_chip_512px",
         "value": None,
         "unit": "pairs/s/chip",
         "error": f"TPU backend unavailable: {err}",
-    }))
+    }), flush=True)
     os._exit(1)
 
 

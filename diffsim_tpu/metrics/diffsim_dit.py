@@ -22,7 +22,7 @@ import numpy as np
 from diffsim_tpu.core import prng, schedulers
 from diffsim_tpu.core.image import load_and_process
 from diffsim_tpu.metrics import readout
-from diffsim_tpu.metrics.scorer_base import ScorerBase
+from diffsim_tpu.metrics.scorer_base import ScorerBase, fetchable_pair
 from diffsim_tpu.models import dit, vae
 from diffsim_tpu.ops.taps import QKV, TapSpec
 
@@ -212,28 +212,17 @@ class DiffSimDiT(ScorerBase):
     @functools.lru_cache(maxsize=16)
     def _cached_triplet_scan_fn(self, tap: TapSpec, similarity: str):
         """Scan-chunked variant of _cached_triplet_fn: one launch + one fetch for the
-        whole window instead of one per chunk (~0.5 s relay latency each). Numerically
-        identical to the host-loop dispatch: noise draws are per-role, shared across
-        chunks."""
+        whole window instead of one per chunk (~0.5 s relay latency each); shared
+        wrapper: runtime.device_cache.make_window_scan."""
+        from diffsim_tpu.runtime.device_cache import make_window_scan
+
         tail = self._triplet_tail(tap, similarity)
 
-        def fn(params, pool, idx3, noise_sab, key):
-            # idx3 (N, chunk, 3)
-            def step(_, ix):
-                return None, tail(params, pool[ix], noise_sab, key)
+        def invoke(params, pool, idx3, noise_sab, key):
+            return tail(params, pool[idx3], noise_sab, key)
 
-            _, out = jax.lax.scan(step, None, idx3)
-            return out
-
-        if self.mesh is not None:
-            from diffsim_tpu.parallel import mesh as meshlib
-
-            cs = jax.sharding.NamedSharding(self.mesh,
-                                            jax.sharding.PartitionSpec(None, "data"))
-            rs = meshlib.replicated(self.mesh)
-            return meshlib.kernel_jit(fn, self.mesh, in_shardings=(rs, rs, cs, rs, rs),
-                                      out_shardings=(cs, cs))
-        return jax.jit(fn)
+        # args after (params, pool): idx3*, noise_sab, key (* = chunked)
+        return make_window_scan(self.mesh, invoke, chunked=(0,), n_args=3)
 
     def score_triplet_paths(
         self,
@@ -282,13 +271,7 @@ class DiffSimDiT(ScorerBase):
         else:
             fn = self._cached_triplet_fn(tap, similarity)
             s_ab, s_ac = fn(self.params, cache.pool, idx3, sab, key)
-
-        def fetch():
-            out_ab, out_ac = (np.asarray(o, np.float32).reshape(-1)
-                              for o in jax.device_get((s_ab, s_ac)))
-            return (out_ab[:T], out_ac[:T]) if pad else (out_ab, out_ac)
-
-        return fetch() if blocking else fetch
+        return fetchable_pair(s_ab, s_ac, T, pad, blocking)
 
     @staticmethod
     def _resolve_layer(target_layer):

@@ -28,7 +28,7 @@ from diffsim_tpu.core.image import load_and_process, load_and_process_u8
 from diffsim_tpu.core.tokenizer import HashTokenizer
 from diffsim_tpu.metrics import readout
 from diffsim_tpu.models import clip_text, unet, vae
-from diffsim_tpu.metrics.scorer_base import ScorerBase
+from diffsim_tpu.metrics.scorer_base import ScorerBase, fetchable_pair
 from diffsim_tpu.ops.taps import IP_QKV, OUTPUT, QKV, TapSpec
 from diffsim_tpu.parallel import mesh as meshlib
 
@@ -475,24 +475,16 @@ class DiffSimSD15(ScorerBase):
     @functools.lru_cache(maxsize=32)
     def _cached_triplet_scan_fn(self, tap: TapSpec, similarity: str):
         """Scan-chunked variant of _cached_triplet_fn (one launch + one fetch per window,
-        see _triplet_scan_fn)."""
+        see _triplet_scan_fn); shared wrapper: runtime.device_cache.make_window_scan."""
+        from diffsim_tpu.runtime.device_cache import make_window_scan
+
         tail = self._triplet_tail(tap, similarity)
 
-        def fn(params, pool, idx3, embeds_u, pidx, noise_sab, key):
-            # idx3 (N, chunk, 3); pidx (N, chunk)
-            def step(_, xs):
-                ix, pi = xs
-                return None, tail(params, pool[ix], embeds_u, pi, noise_sab, key)
+        def invoke(params, pool, idx3, embeds_u, pidx, noise_sab, key):
+            return tail(params, pool[idx3], embeds_u, pidx, noise_sab, key)
 
-            _, out = jax.lax.scan(step, None, (idx3, pidx))
-            return out
-
-        if self.mesh is not None:
-            cs = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec(None, "data"))
-            rs = meshlib.replicated(self.mesh)
-            return meshlib.kernel_jit(fn, self.mesh, in_shardings=(rs, rs, cs, rs, cs, rs, rs),
-                                      out_shardings=(cs, cs))
-        return jax.jit(fn)
+        # args after (params, pool): idx3*, embeds_u, pidx*, noise_sab, key (* = chunked)
+        return make_window_scan(self.mesh, invoke, chunked=(0, 2), n_args=5)
 
     def score_triplet_paths(
         self,
@@ -553,13 +545,7 @@ class DiffSimSD15(ScorerBase):
         else:
             fn = self._cached_triplet_fn(tap, similarity)
             s_ab, s_ac = fn(self.params, cache.pool, idx3, embeds_u, pidx, sab, key)
-
-        def fetch():
-            out_ab, out_ac = (np.asarray(o, np.float32).reshape(-1)
-                              for o in jax.device_get((s_ab, s_ac)))
-            return (out_ab[:T], out_ac[:T]) if pad else (out_ab, out_ac)
-
-        return fetch() if blocking else fetch
+        return fetchable_pair(s_ab, s_ac, T, pad, blocking)
 
     def score_triplet_batch(
         self,
@@ -614,13 +600,7 @@ class DiffSimSD15(ScorerBase):
         else:
             fn = self._triplet_fn(tap, similarity)
             s_ab, s_ac = fn(self.params, roles[0], roles[1], roles[2], embeds_u, pidx, sab, key)
-
-        def fetch():
-            out_ab, out_ac = (np.asarray(o, np.float32).reshape(-1)
-                              for o in jax.device_get((s_ab, s_ac)))
-            return (out_ab[:T], out_ac[:T]) if pad else (out_ab, out_ac)
-
-        return fetch() if blocking else fetch
+        return fetchable_pair(s_ab, s_ac, T, pad, blocking)
 
     # enable_ip_adapter / _ip_embed live on ScorerBase (shared with the SDXL scorer —
     # /root/reference/diffsim/diffsim.py:86-89 and diffsim_xl.py:52-55 load the same stack)

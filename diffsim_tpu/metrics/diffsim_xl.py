@@ -28,7 +28,7 @@ from diffsim_tpu.core import prng, schedulers
 from diffsim_tpu.core.image import load_and_process
 from diffsim_tpu.core.tokenizer import HashTokenizer
 from diffsim_tpu.metrics import readout
-from diffsim_tpu.metrics.scorer_base import ScorerBase
+from diffsim_tpu.metrics.scorer_base import ScorerBase, fetchable_pair
 from diffsim_tpu.models import clip_text, unet, vae
 from diffsim_tpu.ops.taps import IP_QKV, QKV, TapSpec
 
@@ -385,30 +385,17 @@ class DiffSimXL(ScorerBase):
         """Scan-chunked variant of _cached_triplet_fn: the whole window is ONE jitted
         program — one launch + one fetch instead of one per chunk (the relay charges
         ~0.5 s latency per launch/fetch, which dominated the XL@1024 cached window at
-        4-6 chunks). Numerically identical to the host-loop dispatch: noise draws are
-        per-role, shared across chunks."""
+        4-6 chunks); shared wrapper: runtime.device_cache.make_window_scan."""
+        from diffsim_tpu.runtime.device_cache import make_window_scan
+
         tail = self._triplet_tail(tap, similarity)
 
-        def fn(params, pool, idx3, embeds_u, pooled_u, pidx, noise_sab, key):
-            # idx3 (N, chunk, 3); pidx (N, chunk)
-            def step(_, xs):
-                ix, pi = xs
-                return None, tail(params, pool[ix], embeds_u[pi], pooled_u[pi],
-                                  noise_sab, key)
+        def invoke(params, pool, idx3, embeds_u, pooled_u, pidx, noise_sab, key):
+            return tail(params, pool[idx3], embeds_u[pidx], pooled_u[pidx],
+                        noise_sab, key)
 
-            _, out = jax.lax.scan(step, None, (idx3, pidx))
-            return out
-
-        if self.mesh is not None:
-            from diffsim_tpu.parallel import mesh as meshlib
-
-            cs = jax.sharding.NamedSharding(self.mesh,
-                                            jax.sharding.PartitionSpec(None, "data"))
-            rs = meshlib.replicated(self.mesh)
-            return meshlib.kernel_jit(fn, self.mesh,
-                                      in_shardings=(rs, rs, cs, rs, rs, cs, rs, rs),
-                                      out_shardings=(cs, cs))
-        return jax.jit(fn)
+        # args after (params, pool): idx3*, embeds_u, pooled_u, pidx*, noise_sab, key
+        return make_window_scan(self.mesh, invoke, chunked=(0, 3), n_args=6)
 
     def _embeds_and_idx(self, prompts):
         """Unique-prompt tables ((U,2,77,hid), (U,2,proj)) + per-item int32 index —
@@ -480,13 +467,7 @@ class DiffSimXL(ScorerBase):
             fn = self._cached_triplet_fn(tap, similarity)
             s_ab, s_ac = fn(self.params, cache.pool, idx3, embeds_u, pooled_u, pidx,
                             sab, key)
-
-        def fetch():
-            out_ab, out_ac = (np.asarray(o, np.float32).reshape(-1)
-                              for o in jax.device_get((s_ab, s_ac)))
-            return (out_ab[:T], out_ac[:T]) if pad else (out_ab, out_ac)
-
-        return fetch() if blocking else fetch
+        return fetchable_pair(s_ab, s_ac, T, pad, blocking)
 
     def score_batch(
         self,

@@ -20,6 +20,18 @@ def fetchable(scores, pad: int, blocking: bool):
     return fetch() if blocking else fetch
 
 
+def fetchable_pair(s_ab, s_ac, t: int, pad: int, blocking: bool):
+    """Triplet-path variant of ``fetchable``: one device_get for both score arrays
+    (possibly scan-stacked — flattened), padding stripped to the true triplet count."""
+
+    def fetch():
+        out_ab, out_ac = (np.asarray(o, np.float32).reshape(-1)
+                          for o in jax.device_get((s_ab, s_ac)))
+        return (out_ab[:t], out_ac[:t]) if pad else (out_ab, out_ac)
+
+    return fetch() if blocking else fetch
+
+
 class ScorerBase:
     mesh = None
     dtype = None

@@ -239,6 +239,44 @@ def resolve_cached_chunk(mesh, t: int, chunk: int | None, img_size: int,
     return (chunk if chunk is not None else n), n
 
 
+def make_window_scan(mesh, invoke, chunked: tuple[int, ...], n_args: int):
+    """One jitted lax.scan program over a window of chunks — the shared wrapper behind
+    every scorer's ``_cached_triplet_scan_fn`` (one launch + one fetch per window; the
+    relay charges ~0.5 s latency per launch/fetch).
+
+    ``invoke(params, pool, *args) -> (s_ab, s_ac)`` scores ONE chunk (doing its own
+    ``pool[idx]`` gather / table indexing). ``chunked`` lists the positions within
+    ``args`` (0-based, params/pool excluded) that arrive stacked as (N, chunk, ...) and
+    are fed to ``invoke`` one chunk per scan step; the other ``n_args`` positions are
+    passed through whole (replicated). Shardings: params/pool/replicated args replicated,
+    chunked args and both outputs PartitionSpec(None, 'data') — identical numerics to a
+    host-level chunk loop (noise draws are per-role, shared across chunks)."""
+    import jax
+
+    from diffsim_tpu.parallel import mesh as meshlib
+
+    chunked_set = frozenset(chunked)
+
+    def fn(params, pool, *args):
+        xs = tuple(args[i] for i in chunked)
+
+        def step(_, chunk_vals):
+            full = list(args)
+            for j, i in enumerate(chunked):
+                full[i] = chunk_vals[j]
+            return None, invoke(params, pool, *full)
+
+        _, out = jax.lax.scan(step, None, xs)
+        return out
+
+    if mesh is None:
+        return jax.jit(fn)
+    cs = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
+    rs = meshlib.replicated(mesh)
+    in_sh = (rs, rs) + tuple(cs if i in chunked_set else rs for i in range(n_args))
+    return meshlib.kernel_jit(fn, mesh, in_shardings=in_sh, out_shardings=(cs, cs))
+
+
 def image_key(path) -> tuple:
     """Cache key for an image path: (fspath, st_mtime_ns, st_size) — same stale-file
     rationale as ImageLoader's LRU key (core/image.py): a long-lived process (cli.serve)

@@ -332,16 +332,21 @@ def test_xl_cached_scan_chunks_match_monolithic(tmp_path):
     np.testing.assert_allclose(mono[1], chunked[1], atol=2e-6)
 
 
-def test_dit_cached_scan_chunks_match_monolithic(tmp_path):
+def _dit_scorer(mesh=None):
     from diffsim_tpu.metrics.diffsim_dit import DiffSimDiT
     from diffsim_tpu.models import dit as dit_mod
 
-    scorer = DiffSimDiT(
+    return DiffSimDiT(
         dit_cfg=dit_mod.DiTConfig.tiny(input_size=16, num_classes=1000),
         vae_cfg=vae.VAEConfig.tiny(),
         img_size=32,
         dtype=np.float32,
+        mesh=mesh,
     )
+
+
+def test_dit_cached_scan_chunks_match_monolithic(tmp_path):
+    scorer = _dit_scorer()
     paths = _image_files(tmp_path, 6)
     pa, pb, pc = paths[0:2] * 2, paths[2:4] * 2, paths[4:6] * 2
     kw = dict(target_layer=0, target_step=600)
@@ -349,6 +354,18 @@ def test_dit_cached_scan_chunks_match_monolithic(tmp_path):
     chunked = scorer.score_triplet_paths(pa, pb, pc, chunk=2, **kw)
     np.testing.assert_allclose(mono[0], chunked[0], atol=2e-6)
     np.testing.assert_allclose(mono[1], chunked[1], atol=2e-6)
+
+
+def test_dit_cached_scan_on_mesh_matches_single_device(tmp_path):
+    """The DiT scan graph's mesh branch (PartitionSpec(None, 'data') over scan windows)
+    must score identically to the single-device dispatch."""
+    paths = _image_files(tmp_path, 6)
+    pa, pb, pc = paths[0:2] * 4, paths[2:4] * 4, paths[4:6] * 4
+    kw = dict(target_layer=0, target_step=600)
+    ref = _dit_scorer().score_triplet_paths(pa, pb, pc, chunk=4, **kw)
+    got = _dit_scorer(mesh=meshlib.make_mesh(4)).score_triplet_paths(pa, pb, pc, chunk=4, **kw)
+    np.testing.assert_allclose(got[0], ref[0], atol=1e-5)
+    np.testing.assert_allclose(got[1], ref[1], atol=1e-5)
 
 
 def test_xl_cached_path_on_mesh_matches_single_device(tmp_path):

@@ -16,6 +16,7 @@ step() { echo "=== $1 $(date) ===" | tee -a "$LOG"; }
 
 step "bench.py (flagship SD-1.5 cached-path throughput)"
 timeout 2400 python bench.py 2>> "$LOG" | tee -a "$LOG"
+echo "rc=${PIPESTATUS[0]}" >> "$LOG"
 
 step "bench_fastmode (--no_cfg_parity --bf16_softmax + agreement)"
 timeout 3600 python tools/bench_fastmode.py --out BENCH_FAST.json >> "$LOG" 2>&1
@@ -35,17 +36,28 @@ for t in 8 24 48; do
 done
 
 step "stage 2: full-scale protocol runs"
-[ -d /tmp/nights_fullscale ] || python tools/make_nights_fullscale.py /tmp/nights_fullscale 2120 512 >> "$LOG" 2>&1
-[ -d /tmp/cute_fullscale ] || python tools/make_cute_fullscale.py /tmp/cute_fullscale 512 >> "$LOG" 2>&1
-[ -d /tmp/tid_fullscale ] || python tools/make_tid_fullscale.py /tmp/tid_fullscale 512 >> "$LOG" 2>&1
-for leg in "nights --image_path /tmp/nights_fullscale" \
-           "cute --image_path /tmp/cute_fullscale/cute" \
-           "tid --image_path /tmp/tid_fullscale"; do
-  name=${leg%% *}
+# sentinel files, not bare [ -d ]: an interrupted generator leaves a partial tree that
+# would otherwise be silently benchmarked as "full-scale" on every later run
+gen() {  # gen <sentinel-dir> <generator args...>
+  local dir=$1; shift
+  [ -f "$dir/.complete" ] && return 0
+  if python "$@" >> "$LOG" 2>&1; then touch "$dir/.complete"; else
+    echo "GENERATOR FAILED: $* (rc=$?) — skipping its full-scale leg" >> "$LOG"; return 1
+  fi
+}
+gen /tmp/nights_fullscale tools/make_nights_fullscale.py /tmp/nights_fullscale 2120 512
+gen /tmp/cute_fullscale tools/make_cute_fullscale.py /tmp/cute_fullscale 512
+gen /tmp/tid_fullscale tools/make_tid_fullscale.py /tmp/tid_fullscale 512
+leg() {  # leg <name> <sentinel-dir> <image_path>
+  local name=$1 dir=$2 path=$3
+  [ -f "$dir/.complete" ] || { echo "skipping $name (no complete fixture)" >> "$LOG"; return; }
   step "full-scale $name"
-  /usr/bin/time -v timeout 3600 python -m diffsim_tpu.cli.main $leg --preset $name \
-    --batch_size 24 --results /tmp/${name}_full_res.jsonl >> "$LOG" 2>&1
+  /usr/bin/time -v timeout 3600 python -m diffsim_tpu.cli.main "$name" --preset "$name" \
+    --image_path "$path" --batch_size 24 --results "/tmp/${name}_full_res.jsonl" >> "$LOG" 2>&1
   echo "rc=$?" >> "$LOG"
-done
+}
+leg nights /tmp/nights_fullscale /tmp/nights_fullscale
+leg cute /tmp/cute_fullscale /tmp/cute_fullscale/cute
+leg tid /tmp/tid_fullscale /tmp/tid_fullscale
 
 step "QUEUE DONE"
