@@ -213,8 +213,9 @@ class ForegroundFeatureAveraging:
         db, pb = self._features_dispatch(np.asarray(rgba_b), variant)
 
         def fetch():
-            fa = np.asarray(jax.device_get(da), np.float32)
-            fb = np.asarray(jax.device_get(db), np.float32)
+            got_a, got_b = jax.device_get((da, db))  # one relay round-trip for both
+            fa = np.asarray(got_a, np.float32)
+            fb = np.asarray(got_b, np.float32)
             fa = fa[: fa.shape[0] - pa] if pa else fa
             fb = fb[: fb.shape[0] - pb] if pb else fb
             dot = np.sum(fa * fb, axis=-1)

@@ -65,8 +65,10 @@ class VGGGram:
         rows_b = self._rows_any_dispatch(pix_b)
 
         def fetch():
-            ra = np.concatenate([np.asarray(jax.device_get(r), np.float32) for r in rows_a])
-            rb = np.concatenate([np.asarray(jax.device_get(r), np.float32) for r in rows_b])
+            # one device_get for every bucket program (one relay round-trip, not 2/bucket)
+            got_a, got_b = jax.device_get((rows_a, rows_b))
+            ra = np.concatenate([np.asarray(r, np.float32) for r in got_a])
+            rb = np.concatenate([np.asarray(r, np.float32) for r in got_b])
             dot = np.sum(ra * rb, axis=-1)
             na = np.maximum(np.linalg.norm(ra, axis=-1), 1e-8)
             nb = np.maximum(np.linalg.norm(rb, axis=-1), 1e-8)
