@@ -105,6 +105,12 @@ def arg_parse(argv=None):
     parser.add_argument("--results", type=str, default=None, help="JSONL results path (enables resume)")
     parser.add_argument("--no_cfg_parity", dest="cfg_parity", action="store_false",
                         help="Drop the CFG uncond half (2x faster, not score-parity with torch)")
+    parser.add_argument("--fast_decode", action="store_true",
+                        help="Fast mode (host side): decode large JPEGs in the DCT domain "
+                             "at >= image_size per side before the lanczos resize (3-8x "
+                             "faster decode on 1-core hosts; miss-dominated protocols like "
+                             "NIGHTS are decode-bound there). Pixels differ slightly from "
+                             "the reference's full-resolution decode — NOT score-parity")
     parser.add_argument("--bf16_softmax", action="store_true",
                         help="Fast mode: UNet attention softmax probabilities in bfloat16 "
                              "(halves the VPU traffic over the 4096-token score tiles). "

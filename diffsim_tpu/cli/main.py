@@ -81,7 +81,8 @@ def run_benchmark(benchmark: str, argv=None) -> runner.Report:
         )
 
     adapter = build_metric(args, mesh)
-    loader = ImageLoader(args.image_size, preprocess=adapter.preprocess)
+    loader = ImageLoader(args.image_size, preprocess=adapter.preprocess,
+                         fast_decode=getattr(args, 'fast_decode', False))
     lower = adapter.lower_better or args.metric == "lpips"
 
     mask_fn = None

@@ -47,7 +47,8 @@ def rank(argv):
     args = arg_parse(rest + ["--image_path", ns.gallery_path, "--out_path", ns.out_path])
 
     adapter = build_metric(args)
-    loader = ImageLoader(args.image_size, preprocess=adapter.preprocess)
+    loader = ImageLoader(args.image_size, preprocess=adapter.preprocess,
+                         fast_decode=getattr(args, 'fast_decode', False))
     queries = _list_images(ns.query_path) if os.path.isdir(ns.query_path) else [ns.query_path]
     gallery = _list_images(ns.gallery_path)
     os.makedirs(ns.out_path, exist_ok=True)

@@ -165,7 +165,8 @@ def make_server(args, port: int, max_wait_ms: float = 5.0):
 
     mesh = make_mesh_or_none(args.num_devices)
     adapter = build_metric(args, mesh)
-    loader = ImageLoader(args.image_size, preprocess=adapter.preprocess)
+    loader = ImageLoader(args.image_size, preprocess=adapter.preprocess,
+                         fast_decode=getattr(args, 'fast_decode', False))
 
     def score(pix_a, pix_b, prompts):
         return adapter.score_pairs(pix_a, pix_b, prompts)

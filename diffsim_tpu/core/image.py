@@ -16,11 +16,20 @@ import numpy as np
 from PIL import Image
 
 
-def load_image(path_or_image) -> Image.Image:
-    """Open an image path (or pass through a PIL image), like diffusers' ``load_image``."""
+def load_image(path_or_image, draft_size: int | None = None) -> Image.Image:
+    """Open an image path (or pass through a PIL image), like diffusers' ``load_image``.
+
+    ``draft_size``: opt-in fast decode (CLI --fast_decode). For JPEGs, libjpeg decodes in
+    the DCT domain at the smallest 1/2-1/8 scale whose result is still >= draft_size per
+    side (3-8x faster for large photos on this 1-core host); lanczos then finishes the
+    resize. NOT the reference pipeline — pixels differ slightly from a full-resolution
+    decode, so scores shift (README "Parity notes"). No-op for PNG/BMP and for JPEGs
+    already <= 2x the target."""
     if isinstance(path_or_image, Image.Image):
         return path_or_image
     img = Image.open(path_or_image)
+    if draft_size is not None:
+        img.draft("RGB", (draft_size, draft_size))
     img.load()
     return img
 
@@ -37,12 +46,12 @@ def process_image(image: Image.Image, img_size: int = 512) -> np.ndarray:
     return arr[None, ...]
 
 
-def load_and_process(path, img_size: int = 512) -> np.ndarray:
-    return process_image(load_image(path), img_size)
+def load_and_process(path, img_size: int = 512, fast_decode: bool = False) -> np.ndarray:
+    return process_image(load_image(path, img_size if fast_decode else None), img_size)
 
 
-def load_and_process_u8(path, img_size: int = 512) -> np.ndarray:
-    return process_image_u8(load_image(path), img_size)
+def load_and_process_u8(path, img_size: int = 512, fast_decode: bool = False) -> np.ndarray:
+    return process_image_u8(load_image(path, img_size if fast_decode else None), img_size)
 
 
 def process_image_u8(image: Image.Image, img_size: int = 512) -> np.ndarray:
@@ -125,7 +134,7 @@ class ImageLoader:
     """
 
     def __init__(self, img_size: int = 512, num_workers: int | None = None, preprocess=None,
-                 cache_mb: int = 512):
+                 cache_mb: int = 512, fast_decode: bool = False):
         """``preprocess(pil_image) -> (1, H, W, C)`` overrides the default lanczos/[-1,1]
         pipeline — metric adapters with their own normalization (CLIP, DINO, ...) supply
         theirs.
@@ -134,8 +143,12 @@ class ImageLoader:
         reuse images heavily across comparisons (CUTE draws 10 experiments from the same
         class dirs; retrieval scores every query against the same gallery), and the host is
         often a single core — decoding each unique image once is a real end-to-end win.
-        0 disables. Cached arrays are shared: treat them as read-only."""
+        0 disables. Cached arrays are shared: treat them as read-only.
+
+        ``fast_decode``: opt-in DCT-domain JPEG decode at >= img_size per side before the
+        final resize (CLI --fast_decode; see load_image) — a documented parity divergence."""
         self.img_size = img_size
+        self.fast_decode = fast_decode
         self._preprocess = preprocess or (lambda img: process_image(img, img_size))
         if num_workers is None:
             num_workers = min(32, (os.cpu_count() or 8))
@@ -164,7 +177,8 @@ class ImageLoader:
                 if hit is not None:
                     self._cache.move_to_end(key)
                     return hit
-        arr = self._preprocess(load_image(path))
+        arr = self._preprocess(
+            load_image(path, self.img_size if self.fast_decode else None))
         if key is not None and self._cache_budget > 0:
             with self._cache_lock:
                 if key not in self._cache:
