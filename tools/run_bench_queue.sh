@@ -52,9 +52,11 @@ leg() {  # leg <name> <sentinel-dir> <image_path>
   local name=$1 dir=$2 path=$3
   [ -f "$dir/.complete" ] || { echo "skipping $name (no complete fixture)" >> "$LOG"; return; }
   step "full-scale $name"
-  /usr/bin/time -v timeout 3600 python -m diffsim_tpu.cli.main "$name" --preset "$name" \
+  # this image has no /usr/bin/time; record wall seconds by hand
+  local t0=$SECONDS
+  timeout 3600 python -m diffsim_tpu.cli.main "$name" --preset "$name" \
     --image_path "$path" --batch_size 24 --results "/tmp/${name}_full_res.jsonl" >> "$LOG" 2>&1
-  echo "rc=$?" >> "$LOG"
+  echo "rc=$? wall_s=$((SECONDS - t0))" >> "$LOG"
 }
 leg nights /tmp/nights_fullscale /tmp/nights_fullscale
 leg cute /tmp/cute_fullscale /tmp/cute_fullscale/cute
