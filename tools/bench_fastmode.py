@@ -15,7 +15,12 @@ Agreement is measured under random weights (no published checkpoints in this
 environment): it captures the numerical sensitivity of the full pipeline, not
 semantic-model agreement — noted in README alongside the numbers.
 
-Usage: python tools/bench_fastmode.py [--out BENCH_FAST.json] [--windows 6]
+With --decompose, agreement is additionally measured for each lever ALONE
+(bf16_softmax only, no_cfg_parity only) so the cost split is attributable: bf16 softmax
+is a pure numerics change (expected ≈1.0 agreement) while dropping the uncond half is a
+semantic change to the score definition (the taps genuinely differ — quirk Q1).
+
+Usage: python tools/bench_fastmode.py [--out BENCH_FAST.json] [--windows 6] [--decompose]
 """
 
 from __future__ import annotations
@@ -86,6 +91,8 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--windows", type=int, default=6)
     ap.add_argument("--agree_triplets", type=int, default=96)
+    ap.add_argument("--decompose", action="store_true",
+                    help="also measure agreement for each fast lever alone")
     args = ap.parse_args()
 
     import jax
@@ -125,6 +132,18 @@ def main():
     rho = spearman(all_c, all_f)
     decisions = float(np.mean(np.sign(ca - cc) == np.sign(fa - fc)))
 
+    per_lever = {}
+    if args.decompose:
+        for name, levers in (("bf16_only", dict(fast_softmax=True)),
+                             ("no_cfg_only", dict(cfg_parity=False))):
+            lone = DiffSimSD15(params=canonical.params, img_size=IMG, **levers)
+            la, lc = score_chunked(lone)
+            per_lever[f"spearman_{name}"] = round(
+                spearman(all_c, np.concatenate([la, lc])), 4)
+            per_lever[f"decision_{name}"] = round(
+                float(np.mean(np.sign(ca - cc) == np.sign(la - lc))), 4)
+            del lone
+
     # ---- throughput, cached-path reuse workload (same protocol as bench.py) ----
     best, median = bench_throughput(fast, kwargs, args.windows)
     can_best, can_median = bench_throughput(canonical, kwargs, args.windows)
@@ -142,6 +161,7 @@ def main():
             "agree_pairs": int(2 * T),
             "canonical_best": round(can_best, 3),
             "canonical_median": round(can_median, 3),
+            **per_lever,
         },
     ]
     for r in rows:
