@@ -43,13 +43,17 @@ class CLIPScore:
         self.dtype = dtype
         self.tokenizer = tokenizer or HashTokenizer(self.text_cfg.vocab_size)
         if params is None:
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            from diffsim_tpu.metrics.scorer_base import init_random_on_device
+
+            def build():
                 kv, kt = jax.random.split(jax.random.PRNGKey(init_seed))
-                params = {
+                return {
                     "vision": clip_vision.init(kv, self.vision_cfg, dtype),
                     "text": clip_text.init(kt, self.text_cfg, dtype),
                 }
-        if mesh is not None:
+
+            params = init_random_on_device(build, mesh)
+        elif mesh is not None:
             params = jax.device_put(params, meshlib.replicated(mesh))
         else:
             params = jax.device_put(params, jax.devices()[0])

@@ -53,13 +53,17 @@ class DiffSimDiT(ScorerBase):
         self.mesh = mesh
         self.vae_mode = vae_mode
         if params is None:
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            # one jitted on-device build (scorer_base._init_random): no bulk relay upload
+            def build():
                 kd, kv = jax.random.split(jax.random.PRNGKey(init_seed))
-                params = {
+                return {
                     "dit": dit.init(kd, self.dit_cfg, dtype),
                     "vae": vae.encoder_init(kv, self.vae_cfg, dtype),
                 }
-        self.params = self._place(params)
+
+            self.params = self._init_random(build)
+        else:
+            self.params = self._place(params)
 
     @functools.lru_cache(maxsize=16)
     def _score_fn(self, tap: TapSpec, similarity: str, inject_noise: bool = False):

@@ -115,16 +115,19 @@ class DiffSimSD15(ScorerBase):
                   "merges.txt) (CLI: --tokenizer_dir) for real scoring.")
         self.tokenizer = tokenizer or HashTokenizer(self.text_cfg.vocab_size)
         if params is None:
-            # init on the host CPU backend: eager per-leaf ops on the TPU relay cost minutes
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            # one jitted on-device build (scorer_base._init_random): no 1.8 GB relay upload
+            def build():
                 k = jax.random.PRNGKey(init_seed)
                 ku, kv, kt = jax.random.split(k, 3)
-                params = {
+                return {
                     "unet": unet.init(ku, self.unet_cfg, dtype),
                     "vae": vae.encoder_init(kv, self.vae_cfg, dtype),
                     "text": clip_text.init(kt, self.text_cfg, dtype),
                 }
-        self.params = self._place(params)
+
+            self.params = self._init_random(build)
+        else:
+            self.params = self._place(params)
         self._prompt_cache: dict[str, jax.Array] = {}
         self._encode_jit = jax.jit(
             lambda p, ids: clip_text.apply(p, ids, self.text_cfg)["last_hidden_state"]

@@ -107,22 +107,26 @@ class DiffSimXL(ScorerBase):
         self.tokenizer2 = tokenizer2 or tokenizer or HashTokenizer(self.text2_cfg.vocab_size)
         self._enc_dtype = jnp.float32 if vae_fp32 else dtype
         if params is None:
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            # one jitted on-device build (scorer_base._init_random): no bulk relay upload
+            def build():
                 ku, kv, k1, k2 = jax.random.split(jax.random.PRNGKey(init_seed), 4)
-                params = {
+                return {
                     "unet": unet.init(ku, self.unet_cfg, dtype),
                     "vae": vae.encoder_init(kv, self.vae_cfg, self._enc_dtype),
                     "text": clip_text.init(k1, self.text_cfg, dtype),
                     "text2": clip_text.init(k2, self.text2_cfg, dtype),
                 }
-        elif not vae_fp32:
-            params = dict(params)
-            params["vae"] = jax.tree_util.tree_map(
-                lambda a: np.asarray(a, self._enc_dtype)
-                if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
-                params["vae"],
-            )
-        self.params = self._place(params)
+
+            self.params = self._init_random(build)
+        else:
+            if not vae_fp32:
+                params = dict(params)
+                params["vae"] = jax.tree_util.tree_map(
+                    lambda a: np.asarray(a, self._enc_dtype)
+                    if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+                    params["vae"],
+                )
+            self.params = self._place(params)
         self._prompt_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
         def _encode(p, ids1, ids2):

@@ -38,9 +38,13 @@ class Dinov2Score:
         self.mesh = mesh
         self.dtype = dtype
         if params is None:
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                params = dino_model.init(jax.random.PRNGKey(init_seed), self.cfg, dtype)
-        if mesh is not None:
+            from diffsim_tpu.metrics.scorer_base import init_random_on_device
+
+            params = init_random_on_device(
+                lambda: dino_model.init(jax.random.PRNGKey(init_seed), self.cfg, dtype),
+                mesh,
+            )
+        elif mesh is not None:
             params = jax.device_put(params, meshlib.replicated(mesh))
         else:
             params = jax.device_put(params, jax.devices()[0])

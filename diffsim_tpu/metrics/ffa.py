@@ -124,11 +124,16 @@ class ForegroundFeatureAveraging:
         self.mesh = mesh
         self.matting = matting or heuristic_matting
         if params is None:
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                params = dino_model.init(jax.random.PRNGKey(init_seed), self.cfg, dtype)
-        self.params = jax.device_put(
-            params, meshlib.replicated(mesh) if mesh is not None else jax.devices()[0]
-        )
+            from diffsim_tpu.metrics.scorer_base import init_random_on_device
+
+            self.params = init_random_on_device(
+                lambda: dino_model.init(jax.random.PRNGKey(init_seed), self.cfg, dtype),
+                mesh,
+            )
+        else:
+            self.params = jax.device_put(
+                params, meshlib.replicated(mesh) if mesh is not None else jax.devices()[0]
+            )
 
     # host side ---------------------------------------------------------------
 

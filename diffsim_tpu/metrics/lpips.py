@@ -37,15 +37,20 @@ class LPIPS:
     def __init__(self, params=None, *, mesh=None, dtype=jnp.float32, init_seed: int = 0):
         self.mesh = mesh
         if params is None:
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            from diffsim_tpu.metrics.scorer_base import init_random_on_device
+
+            def build():
                 k1, k2 = jax.random.split(jax.random.PRNGKey(init_seed))
-                params = {
+                return {
                     "vgg": vgg.init(k1, vgg.VGG16_CFG, dtype=dtype),
                     "lins": _lin_init(k2, dtype),
                 }
-        self.params = jax.device_put(
-            params, meshlib.replicated(mesh) if mesh is not None else jax.devices()[0]
-        )
+
+            self.params = init_random_on_device(build, mesh)
+        else:
+            self.params = jax.device_put(
+                params, meshlib.replicated(mesh) if mesh is not None else jax.devices()[0]
+            )
 
     @functools.cached_property
     def _fn(self):

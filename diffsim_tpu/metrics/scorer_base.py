@@ -32,6 +32,34 @@ def fetchable_pair(s_ab, s_ac, t: int, pad: int, blocking: bool):
     return fetch() if blocking else fetch
 
 
+def init_random_on_device(build, mesh=None):
+    """Random-init a parameter tree ON the accelerator via one jitted program.
+
+    ``build() -> params`` must be a pure jax.random tree (every model's ``*_init`` is).
+    Host-CPU init + bulk ``device_put`` ships the whole tree over the relay — ~1.8 GB for
+    SD-1.5 bf16 at the relay's 9-40 MB/s is 45-200 s of one-time upload per process
+    (measured: the dominant cold-start term of every full-scale capture; ~5 GB for SDXL).
+    A single jitted build materializes the tree on-device in under a second and its
+    compile lands in the persistent cache. On the CPU backend (tests, virtual mesh) the
+    upload is free — keep host init so tiny-config construction never pays a jit and the
+    historical numpy value stream tests pin stays intact. The two paths draw different
+    (each deterministic) random streams — see ops.blocks.rand_normal; nothing compares
+    random-weight scores across backends.
+    """
+    if jax.default_backend() == "cpu":
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            params = build()
+        if mesh is None:
+            return jax.device_put(params, jax.devices()[0])
+        return jax.device_put(params, meshlib.replicated(mesh))
+    sharding = (
+        jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        if mesh is None
+        else meshlib.replicated(mesh)
+    )
+    return jax.jit(build, out_shardings=sharding)()
+
+
 class ScorerBase:
     mesh = None
     dtype = None
@@ -45,6 +73,9 @@ class ScorerBase:
         if self.mesh is None:
             return jax.device_put(params, jax.devices()[0])
         return jax.device_put(params, meshlib.replicated(self.mesh))
+
+    def _init_random(self, build):
+        return init_random_on_device(build, self.mesh)
 
     def _pad_pairs(self, pix_a: np.ndarray, pix_b: np.ndarray, prompts: list[str] | None):
         """Stack to (P, 2, H, W, C) in the transport dtype and pad P to the data-axis size.
@@ -106,45 +137,55 @@ class ScorerBase:
         from diffsim_tpu.models import clip_vision, ip_adapter as ipm
 
         encoder_cfg = encoder_cfg or clip_vision.CLIPVisionConfig.h14()
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            key = jax.random.PRNGKey(init_seed)
-            if encoder_params is None:
-                encoder_params = clip_vision.init(key, encoder_cfg, self.dtype)
-            if converted is not None:
-                plus = converted["plus"]
-                ip_weights = converted["ip_weights"]
-                proj = converted["image_proj"]
-                if plus and resampler_cfg is None:
-                    lat = np.asarray(proj["latents"])
-                    resampler_cfg = ipm.ResamplerConfig(
-                        dim=lat.shape[-1], depth=len(proj["layers"]),
-                        dim_head=64,
-                        heads=np.asarray(proj["layers"][0]["to_q"]["w"]).shape[1] // 64,
-                        num_queries=lat.shape[-2],
-                        embedding_dim=np.asarray(proj["proj_in"]["w"]).shape[0],
-                        output_dim=np.asarray(proj["proj_out"]["w"]).shape[1],
-                    )
-            else:
-                if resampler_cfg is None:
-                    import dataclasses as _dc
+        key = jax.random.PRNGKey(init_seed)
+        if encoder_params is None:
+            # random encoder tree built on-device (no relay upload)
+            encoder_params = init_random_on_device(
+                lambda: clip_vision.init(key, encoder_cfg, self.dtype), self.mesh
+            )
+        if converted is not None:
+            plus = converted["plus"]
+            ip_weights = converted["ip_weights"]
+            proj = converted["image_proj"]
+            if plus and resampler_cfg is None:
+                lat = np.asarray(proj["latents"])
+                resampler_cfg = ipm.ResamplerConfig(
+                    dim=lat.shape[-1], depth=len(proj["layers"]),
+                    dim_head=64,
+                    heads=np.asarray(proj["layers"][0]["to_q"]["w"]).shape[1] // 64,
+                    num_queries=lat.shape[-2],
+                    embedding_dim=np.asarray(proj["proj_in"]["w"]).shape[0],
+                    output_dim=np.asarray(proj["proj_out"]["w"]).shape[1],
+                )
+        else:
+            if resampler_cfg is None:
+                import dataclasses as _dc
 
-                    # random-weight mode must emit IP tokens of the UNet's cross dim, whatever
-                    # config this scorer runs (the published cfgs assume the full-scale dims)
-                    resampler_cfg = _dc.replace(
-                        self._default_resampler_cfg(),
-                        output_dim=self.unet_cfg.cross_attention_dim,
-                    )
+                # random-weight mode must emit IP tokens of the UNet's cross dim, whatever
+                # config this scorer runs (the published cfgs assume the full-scale dims)
+                resampler_cfg = _dc.replace(
+                    self._default_resampler_cfg(),
+                    output_dim=self.unet_cfg.cross_attention_dim,
+                )
+
+            def build_ip():
                 if plus:
-                    proj = ipm.resampler_init(jax.random.fold_in(key, 1), resampler_cfg, self.dtype)
+                    proj_ = ipm.resampler_init(jax.random.fold_in(key, 1), resampler_cfg,
+                                               self.dtype)
                 else:
-                    proj = ipm.image_projection_init(
+                    proj_ = ipm.image_projection_init(
                         jax.random.fold_in(key, 1), encoder_cfg.projection_dim,
                         self.unet_cfg.cross_attention_dim, dtype=self.dtype,
                     )
-                ip_weights = ipm.random_ip_weights(
+                return proj_, ipm.random_ip_weights(
                     jax.random.fold_in(key, 2), self.unet_cfg, dtype=self.dtype
                 )
-        params = jax.device_get(self.params)
+
+            proj, ip_weights = init_random_on_device(build_ip, self.mesh)
+        # copy the CONTAINERS of the resident tree (leaves stay device arrays): the insert
+        # below only adds dict entries, so the old device_get → mutate → re-upload pattern
+        # moved ~2×1.8 GB over the relay for no reason
+        params = jax.tree_util.tree_map(lambda a: a, self.params)
         ipm.insert_ip_into_unet(params["unet"], self.unet_cfg, ip_weights)
         params["ip_proj"] = proj
         params["ip_encoder"] = encoder_params

@@ -26,11 +26,16 @@ class VGGGram:
         self.mesh = mesh
         self.dtype = dtype
         if params is None:
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                params = vgg.init(jax.random.PRNGKey(init_seed), vgg.VGG19_CFG, dtype=dtype)
-        self.params = jax.device_put(
-            params, meshlib.replicated(mesh) if mesh is not None else jax.devices()[0]
-        )
+            from diffsim_tpu.metrics.scorer_base import init_random_on_device
+
+            self.params = init_random_on_device(
+                lambda: vgg.init(jax.random.PRNGKey(init_seed), vgg.VGG19_CFG, dtype=dtype),
+                mesh,
+            )
+        else:
+            self.params = jax.device_put(
+                params, meshlib.replicated(mesh) if mesh is not None else jax.devices()[0]
+            )
 
     def preprocess(self, pil_image, img_size: int = 512) -> np.ndarray:
         """torchvision Resize(img_size) (shortest side, bilinear) + ImageNet norm — uint8 out,

@@ -27,9 +27,17 @@ from diffsim_tpu.ops.taps import IP_QKV, OUTPUT, QKV
 
 
 def rand_normal(key, shape, dtype=jnp.float32, std=1.0):
-    """Host-side gaussian init derived from a JAX key. Init runs on the host with numpy —
-    eagerly dispatching thousands of tiny TPU RNG kernels takes minutes for a ~1B-param tree;
-    weight *values* only matter for tests, which need determinism, not a specific stream."""
+    """Gaussian init derived from a JAX key, usable both eagerly and under jit.
+
+    Concrete key (host init, CPU tests): numpy on the host — eagerly dispatching thousands
+    of tiny TPU RNG kernels takes minutes for a ~1B-param tree, and numpy keeps the
+    historical value stream tests were written against. Traced key (the on-device jitted
+    init, scorer_base.init_random_on_device): jax.random.normal — one compiled program
+    materializes the whole tree on-chip with no relay upload. The two paths draw different
+    (but each deterministic) streams; weight *values* only matter for tests, which pin the
+    host path, and for throughput runs, which don't care."""
+    if isinstance(key, jax.core.Tracer):
+        return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
     import numpy as _np
 
     seed = int(_np.asarray(jax.random.key_data(key)).ravel()[-1])

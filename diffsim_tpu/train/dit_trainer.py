@@ -51,23 +51,39 @@ class DiTTrainer:
         self.diffusion = gd.create_diffusion(None, learn_sigma=self.dit_cfg.learn_sigma)
         self.optimizer = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
 
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            key = jax.random.PRNGKey(cfg.seed)
+        from diffsim_tpu.metrics.scorer_base import init_random_on_device
+
+        key = jax.random.PRNGKey(cfg.seed)
+
+        def build():
             params = dit.init(key, self.dit_cfg, dtype)
-            if vae_params is None:
-                vae_params = vae.encoder_init(jax.random.fold_in(key, 1), self.vae_cfg, dtype)
-        state = {
-            "params": params,
-            "ema": jax.tree_util.tree_map(jnp.copy, params),
-            "opt": self.optimizer.init(params),
-            "step": jnp.zeros((), jnp.int32),
-        }
-        if mesh is not None:
-            repl = meshlib.replicated(mesh)
-            state = jax.device_put(state, repl)
-            vae_params = jax.device_put(vae_params, repl)
+            state = {
+                "params": params,
+                "opt": self.optimizer.init(params),
+                "step": jnp.zeros((), jnp.int32),
+            }
+            vp = (vae.encoder_init(jax.random.fold_in(key, 1), self.vae_cfg, dtype)
+                  if vae_params is None else None)
+            return state, vp
+
+        state, vp = init_random_on_device(build, mesh)
+        # ema = copy of params with guaranteed-distinct buffers: a separate un-donated jit
+        # call cannot alias its argument's buffers (returning tree_map(copy, params) from
+        # `build` itself could let XLA share the two output tuples' storage, which the
+        # donated train step must not see)
+        place = (meshlib.replicated(mesh) if mesh is not None
+                 else jax.sharding.SingleDeviceSharding(jax.devices()[0]))
+        state["ema"] = jax.jit(
+            lambda p: jax.tree_util.tree_map(jnp.copy, p), out_shardings=place
+        )(state["params"])
         self.state = state
-        self.vae_params = vae_params
+        if vae_params is None:
+            self.vae_params = vp
+        else:
+            # converted VAE weights are host arrays: kept OUT of the jitted build
+            # (closed-over trees serialize into the HLO as literals — CLAUDE.md relay trap)
+            self.vae_params = jax.device_put(vae_params, place if mesh is not None
+                                             else jax.devices()[0])
         self.timestep_sampler = timestep_sampler or UniformSampler(self.diffusion.num_steps)
         # per-host stream: in multi-host runs each process draws t only for its local batch
         # slice, so the streams must be disjoint across hosts

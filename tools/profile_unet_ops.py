@@ -65,13 +65,24 @@ def main():
     ap.add_argument("--batch", type=int, default=24, help="triplets (x6 = CFG UNet inputs)")
     ap.add_argument("--img", type=int, default=512)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--bf16_softmax", action="store_true",
+                    help="trace every graph under the fast-softmax contract (the "
+                         "--bf16_softmax CLI mode) — measures how much of the hd-40 "
+                         "sites' f32-VPU residual the contract trade actually recovers")
     args = ap.parse_args()
 
     from diffsim_tpu.metrics.diffsim_sd15 import DiffSimSD15
     from diffsim_tpu.models import unet
     from diffsim_tpu.ops import blocks as B_
-    from diffsim_tpu.ops.attention import sdpa
+    from diffsim_tpu.ops.attention import fast_softmax, sdpa
     from diffsim_tpu.ops.taps import QKV, TapSpec
+
+    if args.bf16_softmax:
+        # trace-time flag: entering here puts every graph jitted below (scan_timer jits
+        # lazily, tracing on first call — inside this context) on the fast contract
+        ctx_mgr = fast_softmax()
+        ctx_mgr.__enter__()
+        print("fast-softmax contract: bf16 probabilities (the --bf16_softmax mode)")
 
     B = 6 * args.batch  # CFG-doubled UNet batch of the triplet graph
     lat = args.img // 8
