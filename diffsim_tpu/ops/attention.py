@@ -21,9 +21,11 @@ _FAST_SOFTMAX: contextvars.ContextVar = contextvars.ContextVar("fast_softmax", d
 @contextlib.contextmanager
 def fast_softmax(enabled: bool = True):
     """Trace-time opt-in: compute attention softmax probabilities in bfloat16 instead of
-    float32 (the --bf16_softmax fast mode). Halves the VPU traffic over the (seq, seq)
-    score tiles — the dominant elementwise cost at the 4096-token sites (measured ~+2.5
-    pairs/s on v5e) — but BREAKS bit-parity with torch's f32-softmax
+    float32 (the --bf16_softmax fast mode). A *numerics* experiment, NOT a throughput
+    lever: the round-5 on-chip A/B (docs/MFU_CEILING.md §5) measured the bf16-probs
+    contract 15% SLOWER at the production hd-40/4096-token sites — the v5e VPU is
+    f32-native, so bf16 elementwise work upconverts and the cast passes are pure
+    overhead. It BREAKS bit-parity with torch's f32-softmax
     F.scaled_dot_product_attention; ranking agreement is benched in BENCH_FAST.json.
     Scoring-graph builders enter this context while tracing (the flag is read at trace
     time, like ops/pallas/spmd.kernel_mesh)."""
