@@ -118,11 +118,9 @@ def main():
 
     # persistent compilation cache: repeat runs (driver re-runs every round) skip the ~45 s
     # full-scale compile, leaving the time budget to measurement windows
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/diffsim_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from diffsim_tpu.runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     _preflight_devices()
 
     from diffsim_tpu.metrics.diffsim_sd15 import DiffSimSD15

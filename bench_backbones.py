@@ -117,12 +117,9 @@ def main():
     ap.add_argument("--only", choices=["xl", "dit"], default=None)
     args = ap.parse_args()
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          f"/tmp/diffsim_tpu_jax_cache_{jax.default_backend()}")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from diffsim_tpu.runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     rows = []
     if args.only in (None, "xl"):

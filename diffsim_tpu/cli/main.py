@@ -30,18 +30,11 @@ BENCHMARKS = {
 
 
 def enable_compile_cache():
-    """Persistent XLA compilation cache: repeat CLI runs skip the ~45 s full-scale compile
-    (bench.py already does this; the drivers deserve it just as much)."""
-    import jax
+    """Persistent XLA compilation cache shared by every entry point — see
+    runtime/compile_cache.py for the fragmentation rationale."""
+    from diffsim_tpu.runtime.compile_cache import enable_compile_cache as _enable
 
-    try:
-        # per-platform dir: CPU-AOT artifacts reloaded under a different feature baseline
-        # print scary (if benign) machine-mismatch warnings when backends share a cache
-        jax.config.update("jax_compilation_cache_dir",
-                          f"/tmp/diffsim_tpu_jax_cache_{jax.default_backend()}")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    _enable()
 
 
 def make_mesh_or_none(num_devices=None):

@@ -97,11 +97,9 @@ def main():
 
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/diffsim_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from diffsim_tpu.runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from diffsim_tpu.metrics.diffsim_sd15 import DiffSimSD15
 

@@ -78,11 +78,9 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/diffsim_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from diffsim_tpu.runtime.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from diffsim_tpu.ops.pallas.attention_stream import streaming_self_attention
 
